@@ -1,0 +1,238 @@
+"""Functional density core: stacked-parameter mixtures as pytrees.
+
+This is the TPU-native redesign of the reference's density layer
+(``pypmc/density/gauss.pyx``, ``student_t.pyx``, ``mixture.pyx``): instead of
+a Python list of component objects each with its own scalar-loop ``evaluate``,
+a mixture is ONE pytree of stacked arrays
+
+    means (K, D), chol/inv_chol/inv_sigma (K, D, D), log_det (K,),
+    weights (K,), [dof (K,) for Student-t]
+
+and every operation is a single batched XLA computation:
+
+* :func:`component_logpdfs` produces the full ``(N, K)`` log-density matrix
+  (the reference computes it with per-component Cython N-loops,
+  ``mixture.pyx:112-156``) through one big ``(N,D) x (K,D,D)`` contraction
+  that XLA tiles onto the MXU.
+* :func:`mixture_logpdf` fuses the weighted log-sum-exp on top
+  (``mixture.pyx:101-110`` + ``_regularize.pyx:57``).
+* :func:`propose` replaces multinomial block-allocation + shuffle
+  (``mixture.pyx:159-212``) with an order-free per-particle categorical draw
+  + gather -- same distribution, shard-friendly along the particle axis.
+
+Component death is represented by ``weights == 0`` with the old (still valid)
+parameters kept in place -- mirroring the reference's live-component lists
+(``mix_adapt/pmc.pyx:85-117``) while keeping all shapes static for XLA.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linalg import chol_inv_det, symmetrize
+from ..ops.lse import logsumexp
+
+__all__ = [
+    "MixtureParams",
+    "make_mixture",
+    "gauss_log_norm",
+    "student_t_log_norm",
+    "log_normalization",
+    "mahalanobis",
+    "component_logpdfs",
+    "mixture_logpdf",
+    "propose",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MixtureParams:
+    """Stacked parameters of a Gaussian or Student-t mixture.
+
+    ``dof is None`` selects the Gaussian family; a ``(K,)`` array of degrees
+    of freedom selects Student-t.  ``weights`` are normalized; a weight of
+    exactly 0 marks a dead component (kept with its last valid parameters).
+    """
+
+    means: jax.Array       # (K, D)
+    cov: jax.Array         # (K, D, D)
+    chol: jax.Array        # (K, D, D) lower Cholesky of cov
+    inv_chol: jax.Array    # (K, D, D) U = L^{-1}
+    inv_sigma: jax.Array   # (K, D, D)
+    log_det: jax.Array     # (K,)
+    weights: jax.Array     # (K,)
+    dof: Optional[jax.Array] = None  # (K,) or None
+
+    @property
+    def K(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[1]
+
+    @property
+    def is_student_t(self) -> bool:
+        return self.dof is not None
+
+
+def make_mixture(means, covs, weights=None, dofs=None):
+    """Build :class:`MixtureParams` from raw means/covariances(/dofs).
+
+    Returns ``(params, valid)`` where ``valid`` is a ``(K,)`` bool mask that
+    is False for components whose covariance is not symmetric
+    positive-definite (counterpart of the reference's ``LinAlgError``,
+    see :mod:`pypmc_tpu.ops.linalg`).  Weights are normalized.
+    """
+    means = jnp.asarray(means)
+    covs = jnp.asarray(covs)
+    K = means.shape[0]
+    if weights is None:
+        weights = jnp.ones((K,), dtype=means.dtype)
+    weights = jnp.asarray(weights, dtype=means.dtype)
+    weights = weights / jnp.sum(weights)
+    res = chol_inv_det(covs)
+    dof = None if dofs is None else jnp.asarray(dofs, dtype=means.dtype)
+    params = MixtureParams(
+        means=means,
+        cov=covs,
+        chol=res.chol,
+        inv_chol=res.inv_chol,
+        inv_sigma=res.inv,
+        log_det=res.log_det,
+        weights=weights,
+        dof=dof,
+    )
+    return params, res.valid
+
+
+def gauss_log_norm(log_det, dim):
+    """Gaussian log-normalization (``density/gauss.pyx:54-56``)."""
+    return -0.5 * dim * jnp.log(2 * jnp.pi) - 0.5 * log_det
+
+
+def student_t_log_norm(log_det, dof, dim):
+    """Student-t log-normalization (``density/student_t.pyx:32-34``)."""
+    return (
+        jax.scipy.special.gammaln(0.5 * (dof + dim))
+        - jax.scipy.special.gammaln(0.5 * dof)
+        - 0.5 * dim * jnp.log(dof * jnp.pi)
+        - 0.5 * log_det
+    )
+
+
+def log_normalization(params: MixtureParams) -> jax.Array:
+    """Per-component log-normalization constants, shape ``(K,)``."""
+    if params.is_student_t:
+        return student_t_log_norm(params.log_det, params.dof, params.dim)
+    return gauss_log_norm(params.log_det, params.dim)
+
+
+def mahalanobis(x, means, inv_chol):
+    """Squared Mahalanobis distances ``(N, K)`` of points to all components.
+
+    Computed as ``|| U_k x_n - U_k mu_k ||^2`` with ``U = L^{-1}`` so the
+    dominant cost is ONE ``(N,D) x (D, K*D)`` matmul on the MXU rather than
+    K separate quadratic forms (the reference's ``bilinear_sym`` N-loops).
+    """
+    # proj[n,k,i] = sum_d U[k,i,d] * x[n,d]
+    proj = jnp.einsum("nd,kid->nki", x, inv_chol)
+    b = jnp.einsum("kd,kid->ki", means, inv_chol)
+    diff = proj - b[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def component_logpdfs(params: MixtureParams, x) -> jax.Array:
+    """Per-component log-densities, shape ``(N, K)``.
+
+    Batched equivalent of ``MixtureDensity.multi_evaluate(..., individual=...)``
+    (``density/mixture.pyx:112-156``).
+    """
+    x = jnp.asarray(x)
+    maha = mahalanobis(x, params.means, params.inv_chol)
+    log_norm = log_normalization(params)
+    if params.is_student_t:
+        return log_norm[None, :] - 0.5 * (params.dof + params.dim)[None, :] * jnp.log1p(
+            maha / params.dof[None, :]
+        )
+    return log_norm[None, :] - 0.5 * maha
+
+
+def mixture_logpdf(params: MixtureParams, x) -> jax.Array:
+    """Mixture log-density ``log q(x_n)``, shape ``(N,)``.
+
+    Fuses :func:`component_logpdfs` with the weighted log-sum-exp
+    (``mixture.pyx:101-110``).
+    """
+    return logsumexp(component_logpdfs(params, x), params.weights, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def propose(params: MixtureParams, key, n: int):
+    """Draw ``n`` samples from the mixture; return ``(samples, latent)``.
+
+    Per-particle categorical component choice + affine transform of standard
+    normals (Student-t additionally scales by ``sqrt(dof / chi2(dof))``,
+    ``student_t.pyx:49-55``).  Unlike the reference's multinomial block
+    allocation (``mixture.pyx:159-212``) the output needs no shuffle and
+    shards trivially along the particle axis.
+    """
+    k_cat, k_norm, k_chi = jax.random.split(key, 3)
+    dtype = params.means.dtype
+    log_w = jnp.log(params.weights)  # dead components: -inf, never drawn
+    latent = jax.random.categorical(k_cat, log_w, shape=(n,))
+    z = jax.random.normal(k_norm, (n, params.dim), dtype=dtype)
+    scaled = jnp.einsum("nij,nj->ni", params.chol[latent], z)
+    if params.is_student_t:
+        dof_n = params.dof[latent]
+        chi2 = jax.random.chisquare(k_chi, dof_n, shape=(n,), dtype=dtype)
+        scaled = scaled * jnp.sqrt(dof_n / chi2)[:, None]
+    samples = params.means[latent] + scaled
+    return samples, latent
+
+
+def update_masked(params: MixtureParams, new_means, new_covs, new_weights,
+                  new_dofs=None, update_mask=None):
+    """Batched masked parameter update with PSD-validity fallback.
+
+    For every component where ``update_mask`` is True, attempt the update;
+    where the new covariance is not symmetric positive-definite, keep ALL old
+    parameters and set the component weight to zero, then renormalize --
+    exactly the reference's ``LinAlgError -> weight 0`` protocol
+    (``mix_adapt/pmc.pyx:227-245``), but branchless over K.
+
+    Returns ``(new_params, ok_mask)`` where ``ok_mask`` marks components that
+    were updated successfully.
+    """
+    K = params.K
+    if update_mask is None:
+        update_mask = jnp.ones((K,), dtype=bool)
+    new_covs = symmetrize(jnp.asarray(new_covs))
+    res = chol_inv_det(new_covs)
+    ok = update_mask & res.valid
+    sel_m = ok[:, None]
+    sel_c = ok[:, None, None]
+    weights = jnp.where(update_mask, new_weights, params.weights)
+    # failed update => weight 0 (component died), renormalize afterwards
+    weights = jnp.where(update_mask & ~res.valid, 0.0, weights)
+    weights = weights / jnp.sum(weights)
+    dof = params.dof
+    if dof is not None and new_dofs is not None:
+        dof = jnp.where(ok, new_dofs, dof)
+    return (
+        MixtureParams(
+            means=jnp.where(sel_m, new_means, params.means),
+            cov=jnp.where(sel_c, new_covs, params.cov),
+            chol=jnp.where(sel_c, res.chol, params.chol),
+            inv_chol=jnp.where(sel_c, res.inv_chol, params.inv_chol),
+            inv_sigma=jnp.where(sel_c, res.inv, params.inv_sigma),
+            log_det=jnp.where(ok, res.log_det, params.log_det),
+            weights=weights,
+            dof=dof,
+        ),
+        ok,
+    )

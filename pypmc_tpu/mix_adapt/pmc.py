@@ -1,0 +1,436 @@
+"""Population Monte Carlo (PMC) mixture updates on TPU.
+
+Re-design of the reference's ``pypmc/mix_adapt/pmc.pyx``: the
+Rao-Blackwellized responsibilities, the [Cap+08] eq. (14) sufficient
+statistics, the Student-t gamma pass and the [HOD12] eq. (16)
+degree-of-freedom update are ONE jitted computation over stacked mixture
+parameters.  Component death ("LinAlgError -> weight 0", ``pmc.pyx:227-245``)
+becomes a branchless validity mask; the ``brentq`` dof root-solve
+(``pmc.pyx:683-710``) becomes a fixed-iteration bisection ``vmap``-ed over
+components (the condition is monotone decreasing in nu).
+
+All reductions over the particle axis are plain sums, so the same update
+runs sharded over a device mesh with ``psum`` (see
+:mod:`pypmc_tpu.parallel`).
+"""
+
+from copy import deepcopy as _cp
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from ..density import core as _core
+from ..density.gauss import Gauss
+from ..density.mixture import MixtureDensity
+from ..density.student_t import StudentT
+from ..ops.lse import logsumexp, regularize, tiny
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["gaussian_pmc", "student_t_pmc", "PMC",
+           "calculate_rho_rb", "pmc_update", "PMCResult"]
+
+
+# --------------------------------------------------------------------- #
+# functional core (jittable)                                            #
+# --------------------------------------------------------------------- #
+
+def calculate_rho_rb(params: _core.MixtureParams, samples) -> jax.Array:
+    """Rao-Blackwellized responsibilities ``rho`` with shape ``(N, K)``.
+
+    ``rho[n,k] = w_k q_k(x_n) / (q(x_n) + tiny)`` -- the reference's
+    ``calculate_rho_rb`` (``pmc.pyx:23-43``) as one fused batched kernel.
+    Dead components (weight 0) get exactly zero.
+    """
+    logpdfs = _core.component_logpdfs(params, samples)
+    log_denom = logsumexp(logpdfs, params.weights, axis=-1)
+    t = tiny(log_denom.dtype)
+    rho = jnp.exp(logpdfs) * params.weights[None, :] / (jnp.exp(log_denom)[:, None] + t)
+    return jnp.where(params.weights[None, :] > 0, rho, 0.0)
+
+
+def _rho_non_rb(params: _core.MixtureParams, latent, n_components: int) -> jax.Array:
+    """One-hot responsibilities from latent variables (``pmc.pyx:45-51``),
+    zeroed for dead components."""
+    onehot = jax.nn.one_hot(latent, n_components, dtype=params.weights.dtype)
+    return jnp.where(params.weights[None, :] > 0, onehot, 0.0)
+
+
+def _cov_sums(samples, c, mu):
+    """``(K, D, D)`` centered second-moment sums
+    ``S_k = sum_n c_nk (x_n - mu_k)(x_n - mu_k)^T``.
+
+    Mapped sequentially over K so only an ``(N, D)`` intermediate exists per
+    component; each step is an MXU matmul ``(D, N) @ (N, D)``.
+    """
+    def per_k(args):
+        c_k, mu_k = args  # (N,), (D,)
+        diff = samples - mu_k[None, :]
+        return jnp.einsum("n,ni,nj->ij", c_k, diff, diff)
+
+    return jax.lax.map(per_k, (c.T, mu))
+
+
+class PMCResult(NamedTuple):
+    params: _core.MixtureParams
+    rho: jax.Array            # (N, K) responsibilities
+    updated_ok: jax.Array     # (K,) bool; updated components that stayed valid
+    live: jax.Array           # (K,) bool; live components before the update
+
+
+@partial(jax.jit, static_argnames=("rb", "mincount", "dof_solver_steps", "axis_name"))
+def pmc_update(
+    params: _core.MixtureParams,
+    samples,
+    weights=None,
+    latent=None,
+    rb: bool = True,
+    mincount: int = 0,
+    dof_solver_steps: int = 100,
+    mindof: float = 1e-5,
+    maxdof: float = 1e3,
+    axis_name: Optional[str] = None,
+) -> PMCResult:
+    """One (M-)PMC update of a Gaussian or Student-t mixture ([Cap+08] eq. 14,
+    [HOD12] for the dof) as a single jitted computation.
+
+    :param params: stacked mixture parameters (Gaussian iff ``params.dof`` is
+        None).
+    :param samples: ``(N, D)`` samples drawn from the current mixture.
+    :param weights: ``(N,)`` unnormalized importance weights, or None for
+        equal weights.
+    :param latent: ``(N,)`` int indices of the generating components, or
+        None (requires ``rb=True``).
+    :param rb: Rao-Blackwellized responsibilities (True) or one-hot from
+        ``latent`` (False).
+    :param mincount: kill components that generated fewer than this many
+        samples (requires ``latent``).
+    :param dof_solver_steps: bisection iterations for the Student-t dof
+        update; 0 disables the dof update.
+    :param mindof, maxdof: search interval for the dof root-solve.
+    :param axis_name: if given, ``samples``/``weights``/``latent`` are the
+        LOCAL shard of a particle axis sharded under ``shard_map`` over a
+        mesh axis with this name; all sufficient statistics are all-reduced
+        with ``psum`` (O(K D^2) communication -- this replaces the
+        reference's O(N D) MPI gather-to-rank-0,
+        ``tools/parallel_sampler.py:58-71``).  Every shard computes the
+        identical updated mixture.
+    """
+    samples = jnp.asarray(samples)
+    N, dim = samples.shape
+    K = params.K
+    dtype = samples.dtype
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    if weights is None:
+        w = jnp.ones((N,), dtype=dtype)
+        weight_normalization = psum(jnp.asarray(float(N), dtype=dtype))
+    else:
+        w = jnp.asarray(weights, dtype=dtype)
+        weight_normalization = psum(jnp.sum(w))
+
+    live = params.weights > 0
+
+    if rb:
+        rho = calculate_rho_rb(params, samples)
+    else:
+        rho = _rho_non_rb(params, latent, K)
+
+    # kill components with fewer than ``mincount`` samples AFTER rho is
+    # computed (``pmc.pyx:109-116``)
+    if latent is not None and mincount > 0:
+        count = psum(jnp.bincount(latent, length=K))
+        live = live & (count >= mincount)
+
+    # ---- [Cap+08] eq. (14) sufficient statistics ---------------------- #
+    wrho = w[:, None] * rho                          # (N, K)
+    alpha_unnorm = psum(jnp.sum(wrho, axis=0))       # (K,)
+    inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
+    alpha = alpha_unnorm / weight_normalization
+
+    if params.is_student_t:
+        # gamma pass with the OLD parameters (``pmc.pyx:601-610``)
+        maha_old = _core.mahalanobis(samples, params.means, params.inv_chol)
+        nu = params.dof[None, :]
+        gamma = (nu + dim) / (nu + maha_old)         # (N, K)
+        c_mu = wrho * gamma
+        mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=0)))
+        mu = psum(jnp.einsum("nk,ni->ki", c_mu, samples)) * mu_norm[:, None]
+        cov = psum(_cov_sums(samples, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
+    else:
+        mu = psum(jnp.einsum("nk,ni->ki", wrho, samples)) * inv_unnorm_alpha[:, None]
+        cov = psum(_cov_sums(samples, wrho, mu)) * inv_unnorm_alpha[:, None, None]
+
+    # ---- Student-t dof first-order condition, [HOD12] eq. (16) -------- #
+    new_dofs = None
+    if params.is_student_t and dof_solver_steps:
+        nu_old = params.dof[None, :]
+        b = maha_old  # bilinear form with old inverse sigma
+        xi = rho * (jnp.log(0.5 * (b + nu_old))
+                    - jax.scipy.special.digamma(0.5 * (dim + nu_old))) \
+            + (1.0 - rho) * (jnp.log(0.5 * nu_old)
+                             - jax.scipy.special.digamma(0.5 * nu_old))
+        delta = rho * (dim + nu_old) / (b + nu_old) + (1.0 - rho)
+        const = 1.0 - psum(jnp.einsum("nk,n->k", xi + delta, w)) / weight_normalization
+
+        def condition(nu, c):
+            return c + jnp.log(0.5 * nu) - jax.scipy.special.digamma(0.5 * nu)
+
+        def solve_one(c, old_dof):
+            f_lo = condition(mindof, c)
+            f_hi = condition(maxdof, c)
+
+            def body(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                go_right = condition(mid, c) > 0  # decreasing: root right of mid
+                return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(
+                0, dof_solver_steps, body,
+                (jnp.asarray(mindof, dtype), jnp.asarray(maxdof, dtype)),
+            )
+            root = 0.5 * (lo + hi)
+            # no sign change in the bracket: clamp per monotonicity
+            # (``pmc.pyx:700-710``)
+            root = jnp.where(f_lo < 0, mindof, root)
+            root = jnp.where(f_hi > 0, maxdof, root)
+            return jnp.where(jnp.isfinite(root), root, old_dof)
+
+        new_dofs = jax.vmap(solve_one)(const, params.dof)
+    elif params.is_student_t:
+        new_dofs = params.dof
+
+    # ---- masked parameter update with PSD-validity fallback ----------- #
+    new_weights = jnp.where(live, alpha, params.weights * 0.0)
+    new_params, ok = _core.update_masked(
+        params, mu, cov, new_weights, new_dofs=new_dofs, update_mask=live
+    )
+    return PMCResult(params=new_params, rho=rho, updated_ok=ok, live=live)
+
+
+@partial(jax.jit, static_argnames=("axis_name",))
+def pmc_log_likelihood(params: _core.MixtureParams, samples,
+                       normalized_weights=None, axis_name: Optional[str] = None):
+    """Log likelihood according to eq. (5) in [Cap+08]
+    (``pmc.pyx:371-391``): the weighted mean of ``log q(x_n)``.  With
+    ``axis_name``, inputs are local shards and the reduction is a psum."""
+    log_q = _core.mixture_logpdf(params, samples)
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    if normalized_weights is None:
+        return psum(jnp.sum(log_q)) / psum(jnp.asarray(float(log_q.shape[0])))
+    return psum(jnp.sum(log_q * normalized_weights))
+
+
+# --------------------------------------------------------------------- #
+# reference-compatible wrappers                                         #
+# --------------------------------------------------------------------- #
+
+def _check_pmc_args(samples, weights, latent, mincount, rb):
+    if weights is not None:
+        weights = _np.asarray(weights)
+        assert len(weights.shape) == 1, "Weights must be one-dimensional."
+        assert len(weights) == len(samples), (
+            "Number of weights (%s) does not match the number of samples (%s)."
+            % (len(weights), len(samples))
+        )
+    if latent is None:
+        if mincount > 0:
+            raise ValueError("`mincount` must be 0 if `latent` is not provided!")
+        if not rb:
+            raise ValueError("`rb` must be True if `latent` is not provided!")
+    return weights
+
+
+def _apply_pmc(density, samples, weights, latent, rb, mincount, copy, **kwargs):
+    weights = _check_pmc_args(samples, weights, latent, mincount, rb)
+    if copy:
+        density = _cp(density)
+    params = density.stacked_params()
+    latent_arr = None if latent is None else jnp.asarray(_np.asarray(latent))
+    result = pmc_update(
+        params,
+        jnp.asarray(samples),
+        None if weights is None else jnp.asarray(weights),
+        latent_arr,
+        rb=rb,
+        mincount=int(mincount),
+        **kwargs,
+    )
+    failed = _np.asarray(result.live & ~result.updated_ok)
+    for k in _np.flatnonzero(failed):
+        logger.warning("Could not update component %i --> weight is set to zero." % k)
+    density.set_params(result.params)
+    return density
+
+
+def gaussian_pmc(samples, density, weights=None, latent=None, rb=True,
+                 mincount=0, copy=True):
+    """Adapt a Gaussian mixture ``density`` with one (M-)PMC update
+    ([Cap+08], [Kil+09]) and return the updated density.
+    (Reference: ``mix_adapt/pmc.pyx:120-246``.)
+
+    :param samples: ``(N, D)`` array of samples proposed by ``density``.
+    :param density: :class:`~pypmc_tpu.density.mixture.MixtureDensity` with
+        :class:`~pypmc_tpu.density.gauss.Gauss` components.
+    :param weights: optional ``(N,)`` unnormalized importance weights.
+    :param latent: optional ``(N,)`` generating-component indices.
+    :param rb: Rao-Blackwellize over components (True) or use ``latent``
+        one-hot (False; requires ``latent``).
+    :param mincount: kill components with fewer than this many samples
+        (requires ``latent``).
+    :param copy: if True (default) leave ``density`` untouched and return an
+        updated copy; else update in place.
+    """
+    return _apply_pmc(density, samples, weights, latent, rb, mincount, copy,
+                      dof_solver_steps=0)
+
+
+def student_t_pmc(samples, density, weights=None, latent=None, rb=True,
+                  dof_solver_steps=100, mindof=1e-5, maxdof=1e3,
+                  mincount=0, copy=True):
+    """Adapt a Student-t mixture ``density`` with one (M-)PMC update
+    ([Cap+08], [Kil+09], [HOD12]) and return the updated density.
+    (Reference: ``mix_adapt/pmc.pyx:499-739``.)
+
+    :param dof_solver_steps: bisection iterations for the per-component
+        degree-of-freedom first-order condition; 0 keeps the dof fixed.
+    :param mindof, maxdof: dof search interval; the root is clamped into it.
+
+    Other parameters as in :func:`gaussian_pmc`.
+    """
+    return _apply_pmc(density, samples, weights, latent, rb, mincount, copy,
+                      dof_solver_steps=int(dof_solver_steps),
+                      mindof=float(mindof), maxdof=float(maxdof))
+
+
+class PMC(object):
+    """Adapt a Gaussian or Student-t mixture with repeated (M-)PMC updates
+    on the same samples, monitoring the [Cap+08] eq. (5) log-likelihood for
+    convergence.  (Reference: ``mix_adapt/pmc.pyx:248-476``.)
+
+    :param samples: ``(N, D)`` array of samples.
+    :param density: :class:`~pypmc_tpu.density.mixture.MixtureDensity` with
+        Gauss or StudentT components (always copied).
+    :param weights, latent, rb, mincount: see :func:`gaussian_pmc`.
+
+    Additional keyword arguments are passed to the underlying PMC update
+    (e.g. ``dof_solver_steps`` for Student-t).
+    """
+
+    def __init__(self, samples, density, weights=None, latent=None, rb=True,
+                 mincount=0, **kwargs):
+        if weights is not None:
+            self.weights = _np.asarray(weights)
+            assert len(self.weights.shape) == 1, "Weights must be one-dimensional."
+            assert len(self.weights) == len(samples), (
+                "Number of weights (%s) does not match the number of samples (%s)."
+                % (len(self.weights), len(samples))
+            )
+        else:
+            self.weights = None
+
+        if latent is None:
+            if mincount > 0:
+                raise ValueError("`mincount` must be 0 if `latent` is not provided!")
+            if not rb:
+                raise ValueError("`rb` must be True if `latent` is not provided!")
+
+        error_wrong_mixture = (
+            "``density`` must be a ``pypmc_tpu.density.mixture.MixtureDensity`` "
+            "with ``pypmc_tpu.density.gauss.Gauss`` or "
+            "``pypmc_tpu.density.student_t.StudentT`` components"
+        )
+        if not isinstance(density, MixtureDensity):
+            raise TypeError(error_wrong_mixture)
+        if density.kind == "gauss":
+            self.pmc = gaussian_pmc
+        elif density.kind == "student_t":
+            self.pmc = student_t_pmc
+        else:
+            raise TypeError(error_wrong_mixture)
+        for component in density.components:
+            if not isinstance(component, (Gauss, StudentT)):
+                raise TypeError(error_wrong_mixture)
+
+        self.density = _cp(density)
+        self.samples = samples
+        self._samples_dev = jnp.asarray(samples)
+        self.latent = latent
+        self.rb = rb
+        self.mincount = mincount
+        self.additional_args = kwargs
+
+        if self.weights is not None:
+            self.normalized_weights = self.weights / self.weights.sum()
+            self._normalized_weights_dev = jnp.asarray(self.normalized_weights)
+        else:
+            self._normalized_weights_dev = None
+
+    def log_likelihood(self):
+        """Log likelihood of the current density, eq. (5) in [Cap+08]."""
+        return float(
+            pmc_log_likelihood(
+                self.density.stacked_params(),
+                self._samples_dev,
+                self._normalized_weights_dev,
+            )
+        )
+
+    def run(self, iterations=1000, prune=0.0, rel_tol=1e-10, abs_tol=1e-5):
+        r"""Run PMC updates until convergence of the log-likelihood
+        (reference protocol, ``pmc.pyx:393-476``: converge only if the bound
+        increased, never on an iteration that changed the number of live
+        components; ``prune`` removes components below that weight threshold
+        after every update).
+
+        Return the number of iterations at convergence, or None.
+        """
+        old_K = None
+        bound = None
+        for i in range(1, iterations + 1):
+            if old_K == len(self.density):
+                old_bound = bound
+            else:
+                old_bound = self.log_likelihood()
+                logger.info("New bound=%g, K=%i" % (old_bound, len(self.density)))
+
+            self.pmc(self.samples, self.density, self.weights, self.latent,
+                     rb=self.rb, mincount=self.mincount, copy=False,
+                     **self.additional_args)
+            bound = self.log_likelihood()
+
+            logger.info(
+                "After update %d: bound=%.15g, K=%i, component_weights=%s"
+                % (i, bound, len(self.density), self.density.weights)
+            )
+
+            if bound < old_bound:
+                logger.warning("Bound decreased from %g to %g" % (old_bound, bound))
+
+            if bound == old_bound:
+                return i
+            diff = bound - old_bound
+            if diff > 0:
+                if abs(bound) < abs_tol:
+                    if abs(diff) < abs_tol:
+                        return i
+                else:
+                    if abs(diff / bound) < rel_tol:
+                        return i
+
+            old_K = len(self.density)
+            self.density.prune(prune)
+            self.density.normalize()
+
+        return None

@@ -1,0 +1,4 @@
+"""Low-level TPU kernels: batched linear algebra and log-sum-exp."""
+
+from .linalg import CholResult, bilinear_sym, chol_inv_det, symmetrize
+from .lse import logsumexp, logsumexp2D, regularize, tiny

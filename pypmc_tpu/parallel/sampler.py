@@ -1,0 +1,238 @@
+"""Data-parallel importance sampling and PMC over a device mesh.
+
+TPU-native replacement for the reference's ``MPISampler``
+(``tools/parallel_sampler.py:7-80``) and the MPI PMC pipeline
+(``examples/pmc_mpi.py``): instead of "every rank samples, gather O(N*D)
+samples to rank 0, adapt centrally, broadcast the proposal back", the
+particle axis is sharded over all chips with ``shard_map``, every chip
+computes local sufficient statistics, and ONE ``psum`` of O(K*D^2) data makes
+every chip hold the identical updated mixture -- the proposal broadcast
+disappears entirely.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.sharding import PartitionSpec as P
+
+from ..density import core as _core
+from ..mix_adapt.pmc import pmc_log_likelihood, pmc_update
+from ..tools import History as _History
+from ..tools.indicator import merge_function_with_indicator as _indmerge
+from .._rng import as_jax_key
+from .mesh import PARTICLE_AXIS, particle_mesh
+
+__all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded", "PMCStepStats"]
+
+
+def _is_body(params, key, n_local, target):
+    """Per-shard importance-sampling step: propose, evaluate, weight."""
+    samples, latent = _core.propose(params, key, n_local)
+    log_q = _core.mixture_logpdf(params, samples)
+    log_p = jax.vmap(target)(samples)
+    weights = jnp.exp(log_p - log_q)
+    return samples, weights, latent
+
+
+def run_is_step_sharded(params, target, key, n_total, mesh=None,
+                        axis_name=PARTICLE_AXIS):
+    """Draw ``n_total`` importance samples with the particle axis sharded
+    over ``mesh``; return globally-sharded ``(samples, weights, latent)``.
+
+    Each shard folds the key with its mesh position, so results are
+    deterministic for a fixed mesh size (the reference instead broadcasts a
+    seed per MPI rank, ``examples/pmc_mpi.py:73-78``).
+    """
+    if mesh is None:
+        mesh = particle_mesh()
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0, (
+        "n_total (%d) must be divisible by the number of devices (%d)"
+        % (n_total, n_dev)
+    )
+    n_local = n_total // n_dev
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+    )
+    def step(params, key):
+        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        return _is_body(params, my_key, n_local, target)
+
+    return jax.jit(step)(params, key)
+
+
+class PMCStepStats(NamedTuple):
+    log_likelihood: jax.Array  # [Cap+08] eq. (5) of the UPDATED mixture
+    perplexity: jax.Array      # normalized perplexity of the weights
+    ess: jax.Array             # normalized effective sample size
+    evidence: jax.Array        # mean weight = integral estimate
+
+
+def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
+                    rb=True, dof_solver_steps=100, mindof=1e-5, maxdof=1e3,
+                    axis_name=PARTICLE_AXIS, return_final_samples=False):
+    """Run ``n_steps`` of (M-)PMC with ``n_total`` fresh particles per step,
+    fully sharded over the device mesh.
+
+    Each step is ONE compiled ``shard_map`` computation: per-shard
+    propose/evaluate/weight, then the PMC update with psum'ed sufficient
+    statistics -- so every device ends each step with the identical adapted
+    mixture.  This is the TPU-native form of the reference's MPI pipeline
+    (``examples/pmc_mpi.py:85-131``).
+
+    :param target: jittable log target density ``x -> log P(x)``.
+    :param params: initial stacked mixture
+        (:class:`~pypmc_tpu.density.core.MixtureParams`); Student-t iff
+        ``params.dof`` is not None.
+    :param n_total: total particles per step (divisible by mesh size).
+    :param n_steps: number of PMC adaptation steps.
+
+    Returns ``(params, stats)`` with ``stats`` a :class:`PMCStepStats` of
+    ``(n_steps,)`` arrays; with ``return_final_samples`` additionally the
+    last step's sharded ``(samples, weights)``.
+    """
+    if mesh is None:
+        mesh = particle_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0, (
+        "n_total (%d) must be divisible by the number of devices (%d)"
+        % (n_total, n_dev)
+    )
+    n_local = n_total // n_dev
+    is_t = params.is_student_t
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P(axis_name), P(axis_name)),
+    )
+    def step(params, key):
+        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        samples, weights, latent = _is_body(params, my_key, n_local, target)
+        result = pmc_update(
+            params, samples, weights,
+            rb=rb,
+            dof_solver_steps=dof_solver_steps if is_t else 0,
+            mindof=mindof, maxdof=maxdof,
+            axis_name=axis_name,
+        )
+        # weight diagnostics (psum-reduced, replicated result)
+        sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
+        sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
+        n = jax.lax.psum(jnp.asarray(float(n_local), weights.dtype), axis_name)
+        wbar = weights / sum_w
+        log_wbar = jnp.where(wbar == 0, 0.0, jnp.log(jnp.where(wbar == 0, 1.0, wbar)))
+        entr = -jax.lax.psum(jnp.sum(wbar * log_wbar), axis_name)
+        perp = jnp.exp(entr) / n
+        coeff_var = sum_w2 * n / sum_w**2 - 1.0
+        ess = 1.0 / (1.0 + coeff_var)
+        norm_w = weights / sum_w
+        loglik = pmc_log_likelihood(result.params, samples, norm_w, axis_name=axis_name)
+        stats = PMCStepStats(
+            log_likelihood=loglik, perplexity=perp, ess=ess, evidence=sum_w / n
+        )
+        return result.params, stats, samples, weights
+
+    step = jax.jit(step)
+
+    all_stats = []
+    samples = weights = None
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, stats, samples, weights = step(params, sub)
+        all_stats.append(stats)
+
+    stats = PMCStepStats(*[jnp.stack([getattr(s, f) for s in all_stats])
+                           for f in PMCStepStats._fields])
+    if return_final_samples:
+        return params, stats, samples, weights
+    return params, stats
+
+
+class ParallelSampler(object):
+    """Data-parallel importance sampler over a device mesh -- the TPU
+    replacement for the reference's ``MPISampler``
+    (``tools/parallel_sampler.py:7-80``).
+
+    Unlike ``MPISampler`` there is no master rank: all devices participate
+    in every run and the History on the host holds the *global* (already
+    gathered) samples.  ``samples_list``/``weights_list`` provide the
+    per-device view for compatibility with the reference's tests.
+
+    :param target: jittable log target density.
+    :param proposal: :class:`~pypmc_tpu.density.mixture.MixtureDensity`.
+    :param mesh: a 1-D device mesh (default: all devices).
+    :param indicator, prealloc, save_target_values, rng: as in
+        :class:`~pypmc_tpu.sampler.importance_sampling.ImportanceSampler`.
+    """
+
+    def __init__(self, target, proposal, mesh=None, indicator=None,
+                 prealloc=0, save_target_values=False, rng=None):
+        self.mesh = mesh if mesh is not None else particle_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.proposal = proposal
+        self.target = _indmerge(target, indicator, -_np.inf)
+        self.save_target_values = save_target_values
+        self.target_values = _History(1, prealloc) if save_target_values else None
+        self.weights = _History(1, prealloc)
+        self.samples = _History(proposal.dim, prealloc)
+        key = as_jax_key(rng)
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def run(self, N=1, trace_sort=False):
+        """Draw ``N`` samples *per device* (total ``N * n_devices``,
+        mirroring MPISampler's per-rank semantics,
+        ``tools/parallel_sampler.py:35-58``); store the global samples and
+        weights in the host History.  Return the latent component indices
+        if ``trace_sort``."""
+        if N == 0:
+            return 0
+        n_total = int(N) * self.n_devices
+        params = self.proposal.stacked_params()
+        samples, weights, latent = run_is_step_sharded(
+            params, self.target, self._next_key(), n_total, self.mesh
+        )
+        self.samples.append(n_total)[:] = _np.asarray(samples)
+        self.weights.append(n_total)[:, 0] = _np.asarray(weights)
+        if self.target_values is not None:
+            log_q = _np.asarray(_core.mixture_logpdf(params, samples))
+            self.target_values.append(n_total)[:, 0] = (
+                _np.log(_np.asarray(weights)) + log_q
+            )
+        if trace_sort:
+            return _np.asarray(latent)
+        return None
+
+    @property
+    def samples_list(self):
+        """Per-device view of the last run's samples (MPISampler's
+        ``samples_list`` analog)."""
+        last = self.samples[-1]
+        return _np.array_split(last, self.n_devices)
+
+    @property
+    def weights_list(self):
+        """Per-device view of the last run's weights."""
+        last = self.weights[-1]
+        return _np.array_split(last, self.n_devices)
+
+    def clear(self):
+        """Clear the Histories."""
+        self.samples.clear()
+        self.weights.clear()
+        if self.target_values is not None:
+            self.target_values.clear()

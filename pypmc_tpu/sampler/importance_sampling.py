@@ -1,0 +1,278 @@
+"""Importance sampling on TPU.
+
+API-parity re-design of the reference's
+``pypmc/sampler/importance_sampling.py``.  The reference computes importance
+weights in a per-sample Python loop (``importance_sampling.py:197-215``); here
+the whole propose -> evaluate-proposal -> evaluate-target -> weights step is
+ONE jitted XLA computation over the full particle batch, with the target
+``vmap``-ed over particles.  The estimator reductions are written as sums
+over the particle axis so they shard/``psum`` transparently (see
+:mod:`pypmc_tpu.parallel`).
+"""
+
+from copy import deepcopy as _cp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from ..density import core as _core
+from ..density.mixture import MixtureDensity
+from ..ops.lse import logsumexp
+from ..tools import History as _History
+from ..tools.indicator import merge_function_with_indicator as _indmerge
+from .._rng import RNG_DEFAULT, as_jax_key
+
+__all__ = [
+    "ImportanceSampler",
+    "calculate_expectation",
+    "calculate_mean",
+    "calculate_covariance",
+    "combine_weights",
+]
+
+
+def calculate_expectation(samples, weights, f):
+    r"""Expectation value :math:`\sum_n \bar w_n f(x_n)` of function ``f``
+    under self-normalized weights.  ``f`` is ``vmap``-ed over samples when
+    jittable, with a host-loop fallback.
+    (Reference: ``importance_sampling.py:13-44``.)"""
+    assert len(samples) == len(weights), (
+        "The number of samples (got %i) must equal the number of weights (got %i)."
+        % (len(samples), len(weights))
+    )
+    weights = jnp.asarray(weights)
+    try:
+        values = jax.vmap(f)(jnp.asarray(samples))
+    except Exception:
+        values = jnp.asarray(_np.array([f(_np.asarray(x)) for x in _np.asarray(samples)]))
+    return jnp.einsum("n,n...->...", weights, values) / jnp.sum(weights)
+
+
+def calculate_mean(samples, weights):
+    """Mean of weighted samples.  (Reference: ``importance_sampling.py:46-60``.)"""
+    assert len(samples) == len(weights), (
+        "The number of samples (got %i) must equal the number of weights (got %i)."
+        % (len(samples), len(weights))
+    )
+    samples = jnp.asarray(samples)
+    weights = jnp.asarray(weights)
+    return jnp.einsum("n,ni->i", weights, samples) / jnp.sum(weights)
+
+
+def calculate_covariance(samples, weights):
+    """Unbiased covariance matrix of weighted samples, with the reference's
+    weighted-unbiasing factor (``importance_sampling.py:62-83``)."""
+    assert len(samples) == len(weights), (
+        "The number of samples (got %i) must equal the number of weights (got %i)."
+        % (len(samples), len(weights))
+    )
+    samples = jnp.asarray(samples)
+    weights = jnp.asarray(weights)
+    sum_w = jnp.sum(weights)
+    sum_weights_sq = sum_w**2
+    sum_sq_weights = jnp.sum(weights**2)
+    mean = jnp.einsum("n,ni->i", weights, samples) / sum_w
+    diff = samples - mean[None, :]
+    cov = jnp.einsum("n,ni,nj->ij", weights, diff, diff) / sum_w
+    return sum_weights_sq / (sum_weights_sq - sum_sq_weights) * cov
+
+
+class ImportanceSampler(object):
+    r"""An importance sampler: generates weighted samples from ``target``
+    using ``proposal``.  (Reference: ``importance_sampling.py:132-236``.)
+
+    :param target: The log target density: callable ``x -> log P(x)`` for a
+        1d array ``x``.  For the TPU fast path it must be jittable (traceable
+        by JAX); non-jittable targets fall back to a host loop.
+    :param proposal: The proposal density ``q``
+        (:class:`pypmc_tpu.density.mixture.MixtureDensity` for the batched
+        device path, any :class:`~pypmc_tpu.density.base.ProbabilityDensity`
+        otherwise).
+    :param indicator: Jittable predicate restricting the support; proposed
+        points outside get zero weight (target value ``-inf``).
+    :param prealloc: Number of samples for which History memory is
+        preallocated.
+    :param save_target_values: If True, store ``log P`` at every visited
+        point in ``self.target_values``.
+    :param rng: int seed, jax PRNG key (device path, default seed 0), or a
+        numpy mtrand-style generator (host path, reference-compatible).
+    """
+
+    def __init__(self, target, proposal, indicator=None, prealloc=0,
+                 save_target_values=False, rng=None):
+        self.proposal = _cp(proposal)
+        self.target = _indmerge(target, indicator, -_np.inf)
+        self.target_values = _History(1, prealloc) if save_target_values else None
+        self.weights = _History(1, prealloc)
+        self.samples = _History(proposal.dim, prealloc)
+        self._numpy_rng = None
+        key = as_jax_key(rng)
+        if key is None:  # numpy-style generator
+            self._numpy_rng = rng
+        self._key = key
+        self._step = None  # compiled device step, built lazily
+        self._device_ok = None
+
+    def clear(self):
+        """Clear the history of samples, weights (and target values)."""
+        self.samples.clear()
+        self.weights.clear()
+        if self.target_values is not None:
+            self.target_values.clear()
+
+    # ------------------------------------------------------------------ #
+
+    def _build_step(self):
+        target = self.target
+
+        @partial(jax.jit, static_argnames=("n",))
+        def step(params, key, n):
+            samples, latent = _core.propose(params, key, n)
+            log_q = _core.mixture_logpdf(params, samples)
+            log_p = jax.vmap(target)(samples)
+            weights = jnp.exp(log_p - log_q)
+            return samples, latent, weights, log_p
+
+        return step
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def run(self, N=1, trace_sort=False):
+        """Run the sampler for ``N`` points; store samples into
+        ``self.samples`` and importance weights into ``self.weights``.
+
+        If ``trace_sort``, return the index of the responsible proposal
+        component for each sample (the samples are NOT component-sorted --
+        the TPU path draws per-particle categorical components, which is the
+        same distribution without the ordering artifact).
+        """
+        if N == 0:
+            return 0
+
+        use_device = (
+            self._numpy_rng is None
+            and isinstance(self.proposal, MixtureDensity)
+            and self.proposal.kind != "generic"
+        )
+        if use_device:
+            if self._step is None:
+                self._step = self._build_step()
+            params = self.proposal.stacked_params()
+            try:
+                samples, latent, weights, log_p = self._step(params, self._next_key(), int(N))
+            except jax.errors.TracerArrayConversionError:
+                use_device = False
+            except jax.errors.ConcretizationTypeError:
+                use_device = False
+        if not use_device:
+            return self._run_host(N, trace_sort)
+
+        self.samples.append(N)[:] = _np.asarray(samples)
+        self.weights.append(N)[:, 0] = _np.asarray(weights)
+        if self.target_values is not None:
+            self.target_values.append(N)[:, 0] = _np.asarray(log_p)
+        if trace_sort:
+            return _np.asarray(latent)
+        return None
+
+    def _run_host(self, N, trace_sort):
+        """Host fallback: numpy rng and/or non-jittable target."""
+        rng = self._numpy_rng if self._numpy_rng is not None else RNG_DEFAULT
+        if trace_sort:
+            this_samples, origin = self.proposal.propose(N, rng, trace=True, shuffle=False)
+        else:
+            origin = None
+            this_samples = self.proposal.propose(N, rng)
+        this_weights = self.weights.append(N)[:, 0]
+        log_q = _np.asarray(self.proposal.multi_evaluate(_np.asarray(this_samples)))
+        targets = _np.empty(N)
+        for i in range(N):
+            targets[i] = float(self.target(this_samples[i]))
+        this_weights[:] = _np.exp(targets - log_q)
+        self.samples.append(N)[:] = this_samples
+        if self.target_values is not None:
+            self.target_values.append(N)[:, 0] = targets
+        return origin
+
+
+def combine_weights(samples, weights, proposals):
+    """Deterministic-mixture (AMIS) weights according to [Cor+12] for
+    several importance-sampling runs with the same target but different
+    proposals; return a :class:`~pypmc_tpu.tools.History` with one run per
+    proposal.  (Reference: ``importance_sampling.py:238-371``.)"""
+    samples = [_np.asarray(s) for s in samples]
+    weights = [_np.asarray(w) for w in weights]
+
+    assert len(samples) == len(weights), (
+        "Got %i importance-sampling runs but %i weights" % (len(samples), len(weights))
+    )
+    assert len(samples) == len(proposals), (
+        "Got %i importance-sampling runs but %i proposal densities"
+        % (len(samples), len(proposals))
+    )
+
+    dim = samples[0].shape[-1]
+    N = _np.empty(len(proposals))
+    N_total = 0
+    for i in range(len(N)):
+        assert samples[i].ndim == 2, "``samples[%i]`` is not matrix like." % i
+        assert samples[i].shape[-1] == dim, (
+            "Dimension of samples[0] (%i) does not match the dimension of samples[%i] (%i)"
+            % (dim, i, samples[i].shape[-1])
+        )
+        N[i] = len(samples[i])
+        N_total += int(N[i])
+        assert N[i] == len(weights[i]), (
+            "Length of weights[%i] (%i) does not match length of samples[%i] (%i)"
+            % (i, len(weights[i]), i, N[i])
+        )
+
+    history = _History(1, N_total)
+    all_positive = all((w > 0.0).all() for w in weights)
+    if all_positive:
+        _combine_weights_log(samples, weights, proposals, history, N_total, N)
+    else:
+        _combine_weights_linear(samples, weights, proposals, history, N_total, N)
+
+    assert _np.isfinite(history[:][:, 0]).all(), "Encountered inf or nan mixture weights"
+    return history
+
+
+def _proposal_log_q(proposal, y):
+    """(N,) log q(y) for one proposal (device-batched for mixtures)."""
+    return _np.asarray(proposal.multi_evaluate(_np.asarray(y)))
+
+
+def _combine_weights_log(samples, weights, proposals, history, N_total, N):
+    # [Cor+12] Eq. (3) on the log scale:
+    # log w_i^t = log(omega_i^t) + log q_t(y_i^t) + log(N_total)
+    #             - log(sum_l N_l exp(log q_l(y_i^t)))
+    for t, this_proposal in enumerate(proposals):
+        combined = history.append(N[t])
+        y = samples[t]
+        q = _np.column_stack([_proposal_log_q(p, y) for p in proposals])
+        log_q_t = q[:, t]
+        log_w_t = _np.log(weights[t]) + log_q_t + _np.log(N_total)
+        log_w_t -= _np.asarray(logsumexp(jnp.asarray(q), jnp.asarray(N), axis=-1))
+        combined[:, 0] = _np.exp(log_w_t)
+
+    sum_w = history[:][:, 0].sum()
+    assert sum_w > 0, "Sum of weights <=0 (%g)" % sum_w
+    return history
+
+
+def _combine_weights_linear(samples, weights, proposals, history, N_total, N):
+    # [Cor+12] Eq. (3) on the linear scale (needed for negative weights)
+    for t, this_proposal in enumerate(proposals):
+        combined = history.append(N[t])
+        denominator = _np.zeros(int(N[t]))
+        for j, prop in enumerate(proposals):
+            denominator += N[j] * _np.exp(_proposal_log_q(prop, samples[t]))
+        denominator /= N_total
+        numerator = _np.exp(_proposal_log_q(this_proposal, samples[t])) * weights[t]
+        combined[:, 0] = numerator / denominator
+    return history

@@ -1,0 +1,76 @@
+"""Indicator functions restricting the support of a target density.
+
+API parity with the reference's ``pypmc/tools/indicator`` package, but the
+returned indicators are written with ``jax.numpy`` so they can be merged into
+a jitted target (:func:`merge_function_with_indicator` uses ``jnp.where``
+rather than Python branching, which lets the merged target be traced by XLA
+and ``vmap``-ed over the particle axis).
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["ball", "hyperrectangle", "merge_function_with_indicator"]
+
+
+def ball(center, radius=1.0, bdy=True):
+    """Return the (jittable) indicator function of a ball.
+
+    :param center: Vector-like array; ``len(center)`` fixes the dimension.
+    :param radius: Float; the ball's radius.
+    :param bdy: Bool; whether a point exactly on the boundary counts as
+        inside.  (Reference: ``_indicator_factory.py:5-48``.)
+    """
+    center = jnp.asarray(center)
+
+    def ball_indicator(x):
+        x = jnp.asarray(x)
+        dist = jnp.linalg.norm(x - center)
+        return dist <= radius if bdy else dist < radius
+
+    ball_indicator.__doc__ = (
+        "automatically generated ball indicator function:"
+        "\ncenter = %s\nradius = %s\nbdy    = %s" % (center, radius, bdy)
+    )
+    return ball_indicator
+
+
+def hyperrectangle(lower, upper, bdy=True):
+    """Return the (jittable) indicator function of a hyperrectangle.
+    (Reference: ``_indicator_factory.py:50-97``.)"""
+    import numpy as _np
+
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+    if _np.any(_np.asarray(upper) <= _np.asarray(lower)):
+        raise ValueError("invalid input; found upper <= lower")
+
+    def hr_indicator(x):
+        x = jnp.asarray(x)
+        if bdy:
+            return jnp.all(lower <= x) & jnp.all(x <= upper)
+        return jnp.all(lower < x) & jnp.all(x < upper)
+
+    hr_indicator.__doc__ = (
+        "automatically generated hyperrectangle indicator function:"
+        "\nlower = %s\nupper = %s\nbdy   = %s" % (lower, upper, bdy)
+    )
+    return hr_indicator
+
+
+def merge_function_with_indicator(function, indicator, alternative):
+    """Return a function equivalent to
+    ``function(x) if indicator(x) else alternative`` -- but jittable.
+
+    .. note::
+        Unlike the reference (``_indicator_merge.py:1-33``), under ``jit`` /
+        ``vmap`` BOTH branches are evaluated and the result is selected with
+        ``jnp.where``; ``function`` must therefore not crash outside the
+        support (it may return NaN/inf there -- the indicator masks it).
+    """
+    if indicator is None:
+        return function
+
+    def merged_function(x):
+        return jnp.where(indicator(x), function(x), alternative)
+
+    return merged_function
