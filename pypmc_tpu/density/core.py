@@ -216,8 +216,9 @@ def update_masked(params: MixtureParams, new_means, new_covs, new_weights,
     ok = update_mask & res.valid
     sel_m = ok[:, None]
     sel_c = ok[:, None, None]
-    weights = jnp.where(update_mask, new_weights, params.weights)
-    # failed update => weight 0 (component died), renormalize afterwards
+    # the caller decides every component's new weight (e.g. 0 for killed
+    # ones); a failed update additionally forces weight 0 (component died)
+    weights = jnp.asarray(new_weights)
     weights = jnp.where(update_mask & ~res.valid, 0.0, weights)
     weights = weights / jnp.sum(weights)
     dof = params.dof
