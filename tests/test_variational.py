@@ -1,0 +1,287 @@
+"""Tests for variational-Bayes GMM inference.
+
+The exact-step tests compare the first E/M step against an independent
+numpy implementation of the Bishop ch. 10.2 equations written out below
+(the reference package's strategy of term-by-term verification,
+SURVEY.md section 4, genre 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.special import digamma, gammaln
+
+from pypmc_tpu.density import create_gaussian_mixture
+from pypmc_tpu.mix_adapt.variational import (
+    Dirichlet_log_C,
+    GaussianInference,
+    VBMerge,
+    Wishart_H,
+    Wishart_expect_log_lambda,
+    Wishart_log_B,
+)
+
+
+# ------------------------------------------------------------------ #
+# independent numpy model of Bishop ch. 10.2                          #
+# ------------------------------------------------------------------ #
+
+class NumpyVB:
+    """Straight transcription of (10.46)-(10.66) for verification."""
+
+    def __init__(self, data, K, alpha0, beta0, nu0, m0, W0, m_init, weights=None):
+        self.x = np.asarray(data)
+        self.N, self.D = self.x.shape
+        self.K = K
+        self.alpha0, self.beta0, self.nu0 = alpha0, beta0, nu0
+        self.m0, self.W0 = m0, W0
+        self.alpha = alpha0.copy()
+        self.beta = beta0.copy()
+        self.nu = nu0.copy()
+        self.m = m_init.copy()
+        self.W = W0.copy()
+        if weights is None:
+            self.w = np.ones(self.N)
+        else:
+            weights = np.asarray(weights, dtype=float)
+            self.w = self.N * weights / weights.sum()
+
+    def e_step(self):
+        D, K, N = self.D, self.K, self.N
+        self.e_lnlam = np.array(
+            [
+                sum(digamma(0.5 * (self.nu[k] + 1 - i)) for i in range(1, D + 1))
+                + D * np.log(2)
+                + np.linalg.slogdet(self.W[k])[1]
+                for k in range(K)
+            ]
+        )
+        self.e_lnpi = digamma(self.alpha) - digamma(self.alpha.sum())
+        self.e_gauss = np.empty((N, K))
+        for k in range(K):
+            for n in range(N):
+                d = self.x[n] - self.m[k]
+                self.e_gauss[n, k] = D / self.beta[k] + self.nu[k] * d @ self.W[k] @ d
+        log_rho = self.e_lnpi[None, :] + 0.5 * (
+            self.e_lnlam[None, :] - D * np.log(2 * np.pi) - self.e_gauss
+        )
+        shift = log_rho - log_rho.max(axis=1, keepdims=True)
+        r = np.exp(shift)
+        self.r = r / r.sum(axis=1, keepdims=True)
+        self.log_rho = shift - np.log(r.sum(axis=1, keepdims=True))
+        self.N_comp = np.einsum("n,nk->k", self.w, self.r)
+        self.xbar = np.einsum("n,nk,ni->ki", self.w, self.r, self.x) / self.N_comp[:, None]
+        self.S = np.empty((K, D, D))
+        for k in range(K):
+            diff = self.x - self.xbar[k]
+            self.S[k] = (
+                np.einsum("n,n,ni,nj->ij", self.w, self.r[:, k], diff, diff)
+                / self.N_comp[k]
+            )
+
+    def m_step(self):
+        self.nu = self.nu0 + self.N_comp
+        self.alpha = self.alpha0 + self.N_comp
+        self.beta = self.beta0 + self.N_comp
+        self.m = (
+            self.beta0[:, None] * self.m0 + self.N_comp[:, None] * self.xbar
+        ) / self.beta[:, None]
+        for k in range(self.K):
+            d = self.xbar[k] - self.m0[k]
+            inv_w = (
+                np.linalg.inv(self.W0[k])
+                + self.N_comp[k] * self.S[k]
+                + self.beta0[k] * self.N_comp[k] / (self.beta0[k] + self.N_comp[k])
+                * np.outer(d, d)
+            )
+            self.W[k] = np.linalg.inv(inv_w)
+
+
+RNG = np.random.default_rng(7251)
+DATA = np.vstack(
+    [
+        RNG.normal([0.0, 0.0], 0.5, size=(30, 2)),
+        RNG.normal([4.0, 4.0], 0.7, size=(20, 2)),
+    ]
+)
+K = 3
+ALPHA0 = np.array([1.0, 1.5, 2.0])
+BETA0 = np.array([1.0, 1.0, 2.0])
+NU0 = np.array([3.0, 4.0, 5.0])
+M0 = np.array([[0.0, 0.0], [1.0, 1.0], [-1.0, 2.0]])
+W0 = np.array([np.eye(2), np.eye(2) * 2.0, np.eye(2) * 0.5])
+
+
+def make_vb(weights=None):
+    return GaussianInference(
+        DATA, components=K, weights=weights,
+        alpha0=ALPHA0, beta0=BETA0, nu0=NU0, m0=M0, W0=W0,
+    )
+
+
+def make_numpy_vb(weights=None):
+    ref = NumpyVB(DATA, K, ALPHA0, BETA0, NU0, M0, W0, DATA[:K].copy(), weights)
+    return ref
+
+
+class TestExactSteps:
+    def _compare(self, vb, ref):
+        assert np.allclose(np.asarray(vb.expectation_det_ln_lambda), ref.e_lnlam, atol=1e-10)
+        assert np.allclose(np.asarray(vb.expectation_ln_pi), ref.e_lnpi, atol=1e-10)
+        assert np.allclose(np.asarray(vb.expectation_gauss_exponent), ref.e_gauss, atol=1e-9)
+        assert np.allclose(np.asarray(vb.r), ref.r, atol=1e-10)
+        assert np.allclose(np.asarray(vb.N_comp), ref.N_comp, atol=1e-9)
+        assert np.allclose(np.asarray(vb.x_mean_comp), ref.xbar, atol=1e-9)
+        assert np.allclose(np.asarray(vb.S), ref.S, atol=1e-9)
+
+    def test_first_e_step(self):
+        vb = make_vb()
+        ref = make_numpy_vb()
+        ref.e_step()
+        self._compare(vb, ref)
+
+    def test_first_e_step_weighted(self):
+        w = np.abs(RNG.normal(1.0, 0.4, size=len(DATA)))
+        vb = make_vb(weights=w)
+        ref = make_numpy_vb(weights=w)
+        ref.e_step()
+        self._compare(vb, ref)
+
+    def test_first_update(self):
+        vb = make_vb()
+        ref = make_numpy_vb()
+        ref.e_step()
+        ref.m_step()
+        ref.e_step()
+        vb.update()
+        assert np.allclose(np.asarray(vb.alpha), ref.alpha, atol=1e-9)
+        assert np.allclose(np.asarray(vb.beta), ref.beta, atol=1e-9)
+        assert np.allclose(np.asarray(vb.nu), ref.nu, atol=1e-9)
+        assert np.allclose(np.asarray(vb.m), ref.m, atol=1e-9)
+        assert np.allclose(np.asarray(vb.W), ref.W, atol=1e-9)
+        self._compare(vb, ref)
+
+
+class TestWishartDirichlet:
+    def test_wishart_log_B_2d(self):
+        # closed form for D=1: B = (2 W)^{-nu/2} / Gamma(nu/2)
+        nu, w = 4.0, 2.0
+        expected = -0.5 * nu * np.log(w) - 0.5 * nu * np.log(2) - gammaln(0.5 * nu)
+        assert np.isclose(Wishart_log_B(1, nu, np.log(w)), expected)
+
+    def test_wishart_expect_log_lambda_1d(self):
+        nu, w = 6.0, 0.5
+        expected = digamma(0.5 * nu) + np.log(2) + np.log(w)
+        assert np.isclose(Wishart_expect_log_lambda(1, nu, np.log(w)), expected)
+
+    def test_dirichlet_log_C(self):
+        alpha = np.array([1.0, 2.0, 3.5])
+        expected = gammaln(alpha.sum()) - gammaln(alpha).sum()
+        assert np.isclose(Dirichlet_log_C(alpha), expected)
+
+    def test_wishart_H_positive_for_valid(self):
+        assert np.isfinite(Wishart_H(2, 5.0, 0.3))
+
+
+class TestConvergence:
+    def test_bound_increases_monotonically(self):
+        vb = make_vb()
+        bounds = [vb.likelihood_bound()]
+        for _ in range(20):
+            vb.update()
+            bounds.append(vb.likelihood_bound())
+        diffs = np.diff(bounds)
+        assert np.all(diffs > -1e-8), bounds
+
+    def test_run_converges(self):
+        vb = make_vb()
+        converged = vb.run(iterations=500, prune=0.0)
+        assert converged is not None
+
+    def test_run_with_prune_finds_two_clusters(self):
+        vb = GaussianInference(DATA, components=6, alpha0=1e-5, beta0=1e-5)
+        vb.run(iterations=1000, prune=1.0)
+        mix = vb.make_mixture()
+        # two clusters with correct means
+        assert len(mix) == 2
+        means = sorted([c.mu[0] for c in mix.components])
+        assert np.isclose(means[0], 0.0, atol=0.3)
+        assert np.isclose(means[1], 4.0, atol=0.3)
+
+    def test_prune_reindexes(self):
+        vb = GaussianInference(DATA, components=6, alpha0=1e-5, beta0=1e-5)
+        vb.update()
+        before = vb.K
+        vb.prune(threshold=1.0)
+        assert vb.K <= before
+        assert len(vb.alpha) == vb.K
+        assert vb.r.shape[1] == vb.K
+
+    def test_posterior2prior_roundtrip(self):
+        vb = make_vb()
+        vb.run(iterations=50)
+        seq = GaussianInference(DATA, **vb.posterior2prior())
+        assert seq.K == vb.K
+        assert np.allclose(np.asarray(seq.alpha0), np.asarray(vb.alpha))
+
+    def test_initial_guess_mixture(self):
+        guess = create_gaussian_mixture(
+            [np.array([0.0, 0.0]), np.array([4.0, 4.0])],
+            [np.eye(2) * 0.5, np.eye(2) * 0.5],
+        )
+        vb = GaussianInference(DATA, initial_guess=guess)
+        assert vb.K == 2
+        vb.run(iterations=200)
+        mix = vb.make_mixture()
+        means = sorted([c.mu[0] for c in mix.components])
+        assert np.isclose(means[0], 0.0, atol=0.3)
+        assert np.isclose(means[1], 4.0, atol=0.3)
+
+    def test_initial_guess_conflicts_raise(self):
+        guess = create_gaussian_mixture([np.zeros(2)], [np.eye(2)])
+        with pytest.raises(ValueError):
+            GaussianInference(DATA, initial_guess=guess, m=np.zeros((1, 2)))
+
+    def test_argument_validation(self):
+        with pytest.raises(ValueError):
+            GaussianInference(DATA)  # no components, no initial guess
+        with pytest.raises(ValueError):
+            make_vb_bad = GaussianInference(DATA, components=3, alpha0=-1.0)
+        with pytest.raises(TypeError):
+            GaussianInference(DATA, components=3, bogus_parameter=1.0)
+
+
+class TestVBMerge:
+    def make_input(self):
+        # 20 components scattered around two modes
+        rng = np.random.default_rng(3)
+        means = np.vstack(
+            [rng.normal([0, 0], 0.3, size=(10, 2)), rng.normal([5, 5], 0.3, size=(10, 2))]
+        )
+        covs = np.array([np.eye(2) * 0.5] * 20)
+        return create_gaussian_mixture(means, covs)
+
+    def test_compresses_to_two(self):
+        mix_in = self.make_input()
+        vb = VBMerge(mix_in, N=1000, components=6, alpha0=1e-5, beta0=1e-5)
+        vb.run(iterations=500, prune=1.0)
+        out = vb.make_mixture()
+        assert len(out) == 2
+        means = sorted([c.mu[0] for c in out.components])
+        assert np.isclose(means[0], 0.0, atol=0.4)
+        assert np.isclose(means[1], 5.0, atol=0.4)
+        # weights roughly half/half
+        assert np.allclose(sorted(out.weights), [0.5, 0.5], atol=0.1)
+
+    def test_bound_increases(self):
+        mix_in = self.make_input()
+        vb = VBMerge(mix_in, N=100, components=4)
+        bounds = [vb.likelihood_bound()]
+        for _ in range(10):
+            vb.update()
+            bounds.append(vb.likelihood_bound())
+        assert np.all(np.diff(bounds) > -1e-8)
+
+    def test_initial_guess_first_uses_input_means(self):
+        mix_in = self.make_input()
+        vb = VBMerge(mix_in, N=100, components=3, initial_guess="first")
+        assert np.allclose(np.asarray(vb.m), np.asarray(vb.mu[:3]))
