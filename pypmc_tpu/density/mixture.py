@@ -113,6 +113,20 @@ class MixtureDensity(ProbabilityDensity):
             dof=dofs,
         )
 
+    def evaluate_fn(self):
+        """Return a jittable callable ``x (D,) -> log q(x)`` closed over the
+        CURRENT stacked parameters (a snapshot -- later updates to this
+        mixture are not reflected).  Use this to hand a mixture to jitted
+        samplers as the target density."""
+        params = self.stacked_params()
+
+        def log_q(x):
+            import jax.numpy as jnp
+
+            return _core.mixture_logpdf(params, jnp.asarray(x)[None, :])[0]
+
+        return log_q
+
     @classmethod
     def from_params(cls, params):
         """Build a :class:`MixtureDensity` from stacked
