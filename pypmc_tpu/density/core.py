@@ -26,6 +26,7 @@ parameters kept in place -- mirroring the reference's live-component lists
 """
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -34,6 +35,30 @@ import jax.numpy as jnp
 
 from ..ops.linalg import chol_inv_det, symmetrize
 from ..ops.lse import logsumexp
+
+
+def use_pallas(x) -> bool:
+    """Whether the fused Pallas TPU kernels should be used for arrays like
+    ``x``: TPU backend, float32, and not disabled via the
+    ``PYPMC_TPU_DISABLE_PALLAS`` environment variable.  The XLA path remains
+    the reference implementation (used on CPU and for float64)."""
+    if os.environ.get("PYPMC_TPU_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" and x.dtype == jnp.float32
+
+
+def _pallas_operands(params: "MixtureParams", matrix_field: str):
+    """Pack stacked parameters into the layout the Pallas kernels expect:
+    ``a (D, K*D)``, ``b (1, K*D)``, ``log_norm (1, K)``, ``weights (1, K)``,
+    ``dof (1, K) | None``."""
+    K, D = params.means.shape
+    m = getattr(params, matrix_field)  # (K, D, D); inv_chol or chol
+    a = jnp.transpose(m, (2, 0, 1)).reshape(D, K * D)
+    b = jnp.einsum("kd,kid->ki", params.means, m, precision="highest").reshape(1, K * D)
+    log_norm = log_normalization(params).reshape(1, K)
+    weights = params.weights.reshape(1, K)
+    dof = None if params.dof is None else params.dof.reshape(1, K)
+    return a, b, log_norm, weights, dof
 
 __all__ = [
     "MixtureParams",
@@ -140,10 +165,24 @@ def mahalanobis(x, means, inv_chol):
     K separate quadratic forms (the reference's ``bilinear_sym`` N-loops).
     """
     # proj[n,k,i] = sum_d U[k,i,d] * x[n,d]
-    proj = jnp.einsum("nd,kid->nki", x, inv_chol)
-    b = jnp.einsum("kd,kid->ki", means, inv_chol)
+    # precision="highest": the TPU default uses bfloat16 matmul passes,
+    # which costs ~3 decimal digits in the distances
+    proj = jnp.einsum("nd,kid->nki", x, inv_chol, precision="highest")
+    b = jnp.einsum("kd,kid->ki", means, inv_chol, precision="highest")
     diff = proj - b[None, :, :]
     return jnp.sum(diff * diff, axis=-1)
+
+
+def mahalanobis_all(params: MixtureParams, x) -> jax.Array:
+    """``(N, K)`` squared Mahalanobis distances of ``x`` to all components;
+    fused Pallas pass on TPU/float32, XLA einsum otherwise."""
+    x = jnp.asarray(x)
+    if use_pallas(x) and x.shape[0] >= 1024:
+        from ..ops.pallas_kernels import fused_maha
+
+        a, b, _, _, _ = _pallas_operands(params, "inv_chol")
+        return fused_maha(x, a, b, dim=params.dim)
+    return mahalanobis(x, params.means, params.inv_chol)
 
 
 def component_logpdfs(params: MixtureParams, x) -> jax.Array:
@@ -166,8 +205,15 @@ def mixture_logpdf(params: MixtureParams, x) -> jax.Array:
     """Mixture log-density ``log q(x_n)``, shape ``(N,)``.
 
     Fuses :func:`component_logpdfs` with the weighted log-sum-exp
-    (``mixture.pyx:101-110``).
+    (``mixture.pyx:101-110``).  On TPU/float32 this runs as a single Pallas
+    kernel that never materializes the ``(N, K, D)`` projection in HBM.
     """
+    x = jnp.asarray(x)
+    if use_pallas(x) and x.shape[0] >= 1024:
+        from ..ops.pallas_kernels import fused_logq
+
+        a, b, log_norm, weights, dof = _pallas_operands(params, "inv_chol")
+        return fused_logq(x, a, b, log_norm, weights, dof, dim=params.dim)
     return logsumexp(component_logpdfs(params, x), params.weights, axis=-1)
 
 
@@ -186,12 +232,29 @@ def propose(params: MixtureParams, key, n: int):
     log_w = jnp.log(params.weights)  # dead components: -inf, never drawn
     latent = jax.random.categorical(k_cat, log_w, shape=(n,))
     z = jax.random.normal(k_norm, (n, params.dim), dtype=dtype)
-    scaled = jnp.einsum("nij,nj->ni", params.chol[latent], z)
+
     if params.is_student_t:
         dof_n = params.dof[latent]
         chi2 = jax.random.chisquare(k_chi, dof_n, shape=(n,), dtype=dtype)
-        scaled = scaled * jnp.sqrt(dof_n / chi2)[:, None]
-    samples = params.means[latent] + scaled
+        scale = jnp.sqrt(dof_n / chi2)
+    else:
+        scale = jnp.ones((n,), dtype=dtype)
+
+    if use_pallas(z) and n >= 1024:
+        # fused transform: the per-particle (D, D) parameter select happens
+        # in VMEM instead of an (N, D, D) gather in HBM
+        from ..ops.pallas_kernels import fused_transform
+
+        ct = jnp.transpose(params.chol, (2, 0, 1)).reshape(
+            params.dim, params.K * params.dim
+        )
+        samples = fused_transform(
+            z, latent.astype(jnp.int32), scale, ct, params.means, dim=params.dim
+        )
+    else:
+        scaled = jnp.einsum("nij,nj->ni", params.chol[latent], z,
+                            precision="highest")
+        samples = params.means[latent] + scaled * scale[:, None]
     return samples, latent
 
 

@@ -113,16 +113,33 @@ class MixtureDensity(ProbabilityDensity):
             dof=dofs,
         )
 
-    def evaluate_fn(self):
-        """Return a jittable callable ``x (D,) -> log q(x)`` closed over the
-        CURRENT stacked parameters (a snapshot -- later updates to this
-        mixture are not reflected).  Use this to hand a mixture to jitted
-        samplers as the target density."""
+    def evaluate_fn(self, batched=False):
+        """Return a jittable callable closed over the CURRENT stacked
+        parameters (a snapshot -- later updates to this mixture are not
+        reflected).  Use this to hand a mixture to jitted samplers as the
+        target density.
+
+        With ``batched=False`` (default) the callable maps ``x (D,) ->
+        log q(x)`` (the reference's ``evaluate`` contract).  With
+        ``batched=True`` it maps the full block ``x (N, D) -> (N,)`` through
+        the fused TPU kernel and is marked as a batched target -- the fast
+        path for the samplers (per-sample quadratic forms under ``vmap``
+        lower to MXU-latency-bound tiny matmuls on TPU).
+        """
+        import jax.numpy as jnp
+
         params = self.stacked_params()
 
-        def log_q(x):
-            import jax.numpy as jnp
+        if batched:
+            from ..sampler._target import batched_target
 
+            @batched_target
+            def log_q(x):
+                return _core.mixture_logpdf(params, jnp.asarray(x))
+
+            return log_q
+
+        def log_q(x):
             return _core.mixture_logpdf(params, jnp.asarray(x)[None, :])[0]
 
         return log_q

@@ -45,8 +45,16 @@ def calculate_rho_rb(params: _core.MixtureParams, samples) -> jax.Array:
 
     ``rho[n,k] = w_k q_k(x_n) / (q(x_n) + tiny)`` -- the reference's
     ``calculate_rho_rb`` (``pmc.pyx:23-43``) as one fused batched kernel.
-    Dead components (weight 0) get exactly zero.
+    Dead components (weight 0) get exactly zero.  On TPU/float32 this runs
+    as a single fused Pallas pass over the particles.
     """
+    samples = jnp.asarray(samples)
+    if _core.use_pallas(samples) and samples.shape[0] >= 1024:
+        from ..ops.pallas_kernels import fused_rho
+
+        a, b, log_norm, weights, dof = _core._pallas_operands(params, "inv_chol")
+        rho, _ = fused_rho(samples, a, b, log_norm, weights, dof, dim=params.dim)
+        return rho
     logpdfs = _core.component_logpdfs(params, samples)
     log_denom = logsumexp(logpdfs, params.weights, axis=-1)
     t = tiny(log_denom.dtype)
@@ -71,7 +79,7 @@ def _cov_sums(samples, c, mu):
     def per_k(args):
         c_k, mu_k = args  # (N,), (D,)
         diff = samples - mu_k[None, :]
-        return jnp.einsum("n,ni,nj->ij", c_k, diff, diff)
+        return jnp.einsum("n,ni,nj->ij", c_k, diff, diff, precision="highest")
 
     return jax.lax.map(per_k, (c.T, mu))
 
@@ -157,15 +165,15 @@ def pmc_update(
 
     if params.is_student_t:
         # gamma pass with the OLD parameters (``pmc.pyx:601-610``)
-        maha_old = _core.mahalanobis(samples, params.means, params.inv_chol)
+        maha_old = _core.mahalanobis_all(params, samples)
         nu = params.dof[None, :]
         gamma = (nu + dim) / (nu + maha_old)         # (N, K)
         c_mu = wrho * gamma
         mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=0)))
-        mu = psum(jnp.einsum("nk,ni->ki", c_mu, samples)) * mu_norm[:, None]
+        mu = psum(jnp.einsum("nk,ni->ki", c_mu, samples, precision="highest")) * mu_norm[:, None]
         cov = psum(_cov_sums(samples, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
     else:
-        mu = psum(jnp.einsum("nk,ni->ki", wrho, samples)) * inv_unnorm_alpha[:, None]
+        mu = psum(jnp.einsum("nk,ni->ki", wrho, samples, precision="highest")) * inv_unnorm_alpha[:, None]
         cov = psum(_cov_sums(samples, wrho, mu)) * inv_unnorm_alpha[:, None, None]
 
     # ---- Student-t dof first-order condition, [HOD12] eq. (16) -------- #

@@ -141,8 +141,8 @@ def _bilinear_with_W(x, m, W):
     MXU matmul (same trick as :func:`pypmc_tpu.density.core.mahalanobis`)."""
     chol_W = jnp.linalg.cholesky(W)          # W = C C^T
     a = jnp.swapaxes(chol_W, -1, -2)         # bilinear = ||C^T diff||^2
-    proj = jnp.einsum("nd,kid->nki", x, a)
-    b = jnp.einsum("kd,kid->ki", m, a)
+    proj = jnp.einsum("nd,kid->nki", x, a, precision="highest")
+    b = jnp.einsum("kd,kid->ki", m, a, precision="highest")
     diff = proj - b[None, :, :]
     return jnp.sum(diff * diff, axis=-1)
 
@@ -154,7 +154,8 @@ def _weighted_S(data, wr, x_mean, inv_N_comp):
     def per_k(args):
         wr_k, mean_k, inv_k = args
         diff = data - mean_k[None, :]
-        return inv_k * jnp.einsum("n,ni,nj->ij", wr_k, diff, diff)
+        return inv_k * jnp.einsum("n,ni,nj->ij", wr_k, diff, diff,
+                                  precision="highest")
 
     return jax.lax.map(per_k, (wr.T, x_mean, inv_N_comp))
 
@@ -198,7 +199,8 @@ def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
     wr = weights[:, None] * r
     N_comp = jnp.sum(wr, axis=0)  # (10.51)
     inv_N_comp = 1.0 / regularize(N_comp)
-    x_mean = jnp.einsum("nk,ni->ki", wr, data) * inv_N_comp[:, None]  # (10.52)
+    x_mean = jnp.einsum("nk,ni->ki", wr, data,
+                        precision="highest") * inv_N_comp[:, None]  # (10.52)
     S = _weighted_S(data, wr, x_mean, inv_N_comp)  # (10.53)
 
     return _EStepOut(e_lnlam, e_gauss, e_lnpi, log_rho, r, N_comp, inv_N_comp, x_mean, S)

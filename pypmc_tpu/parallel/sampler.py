@@ -30,9 +30,11 @@ __all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded", "PMCStep
 
 def _is_body(params, key, n_local, target):
     """Per-shard importance-sampling step: propose, evaluate, weight."""
+    from ..sampler._target import evaluate_target
+
     samples, latent = _core.propose(params, key, n_local)
     log_q = _core.mixture_logpdf(params, samples)
-    log_p = jax.vmap(target)(samples)
+    log_p = evaluate_target(target, samples)
     weights = jnp.exp(log_p - log_q)
     return samples, weights, latent
 

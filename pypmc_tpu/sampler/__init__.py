@@ -8,3 +8,4 @@ from .importance_sampling import (
     combine_weights,
 )
 from .markov_chain import AdaptiveMarkovChain, MarkovChain, sample_adaptive_chains
+from ._target import batched_target, evaluate_target, is_batched

@@ -22,6 +22,7 @@ from ..density.mixture import MixtureDensity
 from ..ops.lse import logsumexp
 from ..tools import History as _History
 from ..tools.indicator import merge_function_with_indicator as _indmerge
+from ._target import batched_target, evaluate_target, is_batched
 from .._rng import RNG_DEFAULT, as_jax_key
 
 __all__ = [
@@ -58,7 +59,7 @@ def calculate_mean(samples, weights):
     )
     samples = jnp.asarray(samples)
     weights = jnp.asarray(weights)
-    return jnp.einsum("n,ni->i", weights, samples) / jnp.sum(weights)
+    return jnp.einsum("n,ni->i", weights, samples, precision="highest") / jnp.sum(weights)
 
 
 def calculate_covariance(samples, weights):
@@ -73,9 +74,10 @@ def calculate_covariance(samples, weights):
     sum_w = jnp.sum(weights)
     sum_weights_sq = sum_w**2
     sum_sq_weights = jnp.sum(weights**2)
-    mean = jnp.einsum("n,ni->i", weights, samples) / sum_w
+    mean = jnp.einsum("n,ni->i", weights, samples, precision="highest") / sum_w
     diff = samples - mean[None, :]
-    cov = jnp.einsum("n,ni,nj->ij", weights, diff, diff) / sum_w
+    cov = jnp.einsum("n,ni,nj->ij", weights, diff, diff,
+                     precision="highest") / sum_w
     return sum_weights_sq / (sum_weights_sq - sum_sq_weights) * cov
 
 
@@ -131,7 +133,7 @@ class ImportanceSampler(object):
         def step(params, key, n):
             samples, latent = _core.propose(params, key, n)
             log_q = _core.mixture_logpdf(params, samples)
-            log_p = jax.vmap(target)(samples)
+            log_p = evaluate_target(target, samples)
             weights = jnp.exp(log_p - log_q)
             return samples, latent, weights, log_p
 

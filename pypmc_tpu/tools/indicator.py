@@ -70,7 +70,18 @@ def merge_function_with_indicator(function, indicator, alternative):
     if indicator is None:
         return function
 
-    def merged_function(x):
-        return jnp.where(indicator(x), function(x), alternative)
+    from ..sampler._target import batched_target, is_batched
+
+    if is_batched(function):
+        import jax
+
+        @batched_target
+        def merged_function(x):
+            return jnp.where(jax.vmap(indicator)(x), function(x), alternative)
+
+    else:
+
+        def merged_function(x):
+            return jnp.where(indicator(x), function(x), alternative)
 
     return merged_function
