@@ -9,11 +9,13 @@ MPI layer with ``shard_map`` + ``psum`` collectives).
 
 from ._version import __version__
 
+from . import checkpoint
 from . import density
 from . import mix_adapt
+from . import parallel
+from . import profiling
 from . import sampler
 from . import tools
-from . import parallel
 
 from .tools.util import log_to_stdout
 

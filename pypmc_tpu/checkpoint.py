@@ -1,0 +1,120 @@
+"""Checkpoint / resume.
+
+The reference has no serialization subsystem (state is picklable Python
+objects); here every algorithm's state is an explicit pytree / set of arrays,
+so checkpointing is first-class and dependency-light: plain ``.npz`` files
+that survive process restarts, host moves and CPU<->TPU transitions.
+
+* mixtures: :func:`save_mixture` / :func:`load_mixture` /
+  :func:`load_mixture_params`
+* variational Bayes: :func:`save_vb` / :func:`load_vb` (pairs with the
+  ``posterior2prior`` warm-restart API, ``variational.pyx:211-231``)
+* adaptive Markov chains: :func:`save_chain_state` / :func:`load_chain_state`
+"""
+
+import numpy as _np
+
+__all__ = [
+    "save_mixture",
+    "load_mixture",
+    "load_mixture_params",
+    "save_vb",
+    "load_vb",
+    "save_chain_state",
+    "load_chain_state",
+]
+
+
+def save_mixture(path, mixture):
+    """Save a :class:`~pypmc_tpu.density.mixture.MixtureDensity` or stacked
+    :class:`~pypmc_tpu.density.core.MixtureParams` to ``path`` (.npz)."""
+    from .density.core import MixtureParams
+
+    if not isinstance(mixture, MixtureParams):
+        mixture = mixture.stacked_params()
+    arrays = dict(
+        means=_np.asarray(mixture.means),
+        cov=_np.asarray(mixture.cov),
+        weights=_np.asarray(mixture.weights),
+    )
+    if mixture.dof is not None:
+        arrays["dof"] = _np.asarray(mixture.dof)
+    _np.savez(path, **arrays)
+
+
+def load_mixture_params(path):
+    """Load stacked :class:`~pypmc_tpu.density.core.MixtureParams` (device
+    arrays, derived quantities recomputed) from ``path``."""
+    from .density import core
+
+    with _np.load(path) as data:
+        params, valid = core.make_mixture(
+            data["means"], data["cov"], data["weights"],
+            data["dof"] if "dof" in data else None,
+        )
+    return params
+
+
+def load_mixture(path):
+    """Load a host-side :class:`~pypmc_tpu.density.mixture.MixtureDensity`
+    from ``path``."""
+    from .density.mixture import MixtureDensity
+
+    return MixtureDensity.from_params(load_mixture_params(path))
+
+
+def save_vb(path, vb):
+    """Save the full hyperparameter state (prior + posterior) of a
+    :class:`~pypmc_tpu.mix_adapt.variational.GaussianInference`."""
+    state = vb.prior_posterior()
+    state = {k: _np.asarray(v) for k, v in state.items()}
+    _np.savez(path, **state)
+
+
+def load_vb(path, data, weights=None, **kwargs):
+    """Rebuild a :class:`~pypmc_tpu.mix_adapt.variational.GaussianInference`
+    on ``data`` from a saved hyperparameter state; the first E-step is
+    recomputed so the instance is immediately usable."""
+    from .mix_adapt.variational import GaussianInference
+
+    with _np.load(path) as f:
+        state = {k: f[k] for k in f.files}
+    components = int(state.pop("components"))
+    posterior = {k: state.pop(k) for k in ("alpha", "beta", "nu", "m", "W")}
+    vb = GaussianInference(
+        data, components=components, weights=weights,
+        alpha0=state["alpha0"], beta0=state["beta0"], nu0=state["nu0"],
+        m0=state["m0"], W0=state["W0"],
+        alpha=posterior["alpha"], beta=posterior["beta"], nu=posterior["nu"],
+        m=posterior["m"], W=posterior["W"], **kwargs,
+    )
+    return vb
+
+
+def save_chain_state(path, mc):
+    """Save the adaptation-relevant state of an
+    :class:`~pypmc_tpu.sampler.markov_chain.AdaptiveMarkovChain` (the sample
+    History is intentionally excluded -- use :class:`~pypmc_tpu.tools.History`
+    slicing + ``numpy.save`` for samples)."""
+    _np.savez(
+        path,
+        current_point=_np.asarray(mc.current_point),
+        current_target_eval=_np.asarray(mc.current_target_eval),
+        proposal_sigma=_np.asarray(mc.proposal.sigma),
+        unscaled_sigma=_np.asarray(mc.unscaled_sigma),
+        covar_scale_factor=_np.asarray(mc.covar_scale_factor),
+        adapt_count=_np.asarray(mc.adapt_count),
+    )
+
+
+def load_chain_state(path, mc):
+    """Restore state saved by :func:`save_chain_state` into an existing
+    chain ``mc`` (constructed with the same target)."""
+    with _np.load(path) as f:
+        mc.current_point = f["current_point"].copy()
+        mc.current_target_eval = float(f["current_target_eval"])
+        mc.proposal.update(f["proposal_sigma"])
+        mc.unscaled_sigma = f["unscaled_sigma"].copy()
+        mc.covar_scale_factor = float(f["covar_scale_factor"])
+        mc.adapt_count = int(f["adapt_count"])
+    return mc
