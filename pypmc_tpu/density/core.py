@@ -49,16 +49,16 @@ def use_pallas(x) -> bool:
 
 def _pallas_operands(params: "MixtureParams", matrix_field: str):
     """Pack stacked parameters into the layout the Pallas kernels expect:
-    ``a (D, K*D)``, ``b (1, K*D)``, ``log_norm (1, K)``, ``weights (1, K)``,
-    ``dof (1, K) | None``."""
+    ``a2 (K*D, D)``, ``b2 (K*D, 1)``, ``log_norm (K, 1)``, ``weights (K, 1)``,
+    ``dof (K, 1) | None``."""
     K, D = params.means.shape
     m = getattr(params, matrix_field)  # (K, D, D); inv_chol or chol
-    a = jnp.transpose(m, (2, 0, 1)).reshape(D, K * D)
-    b = jnp.einsum("kd,kid->ki", params.means, m, precision="highest").reshape(1, K * D)
-    log_norm = log_normalization(params).reshape(1, K)
-    weights = params.weights.reshape(1, K)
-    dof = None if params.dof is None else params.dof.reshape(1, K)
-    return a, b, log_norm, weights, dof
+    a2 = m.reshape(K * D, D)
+    b2 = jnp.einsum("kd,kid->ki", params.means, m, precision="highest").reshape(K * D, 1)
+    log_norm = log_normalization(params).reshape(K, 1)
+    weights = params.weights.reshape(K, 1)
+    dof = None if params.dof is None else params.dof.reshape(K, 1)
+    return a2, b2, log_norm, weights, dof
 
 __all__ = [
     "MixtureParams",
@@ -67,9 +67,15 @@ __all__ = [
     "student_t_log_norm",
     "log_normalization",
     "mahalanobis",
+    "mahalanobis_all",
+    "mahalanobis_all_T",
     "component_logpdfs",
     "mixture_logpdf",
+    "mixture_logpdf_T",
     "propose",
+    "propose_T",
+    "update_masked",
+    "use_pallas",
 ]
 
 
@@ -173,16 +179,21 @@ def mahalanobis(x, means, inv_chol):
     return jnp.sum(diff * diff, axis=-1)
 
 
-def mahalanobis_all(params: MixtureParams, x) -> jax.Array:
-    """``(N, K)`` squared Mahalanobis distances of ``x`` to all components;
-    fused Pallas pass on TPU/float32, XLA einsum otherwise."""
-    x = jnp.asarray(x)
-    if use_pallas(x) and x.shape[0] >= 1024:
+def mahalanobis_all_T(params: MixtureParams, xT) -> jax.Array:
+    """``(K, N)`` squared Mahalanobis distances for transposed particles
+    ``xT (D, N)``; fused Pallas pass on TPU/float32, XLA einsum otherwise."""
+    xT = jnp.asarray(xT)
+    if use_pallas(xT) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_maha
 
-        a, b, _, _, _ = _pallas_operands(params, "inv_chol")
-        return fused_maha(x, a, b, dim=params.dim)
-    return mahalanobis(x, params.means, params.inv_chol)
+        a2, b2, _, _, _ = _pallas_operands(params, "inv_chol")
+        return fused_maha(xT, a2, b2, dim=params.dim)
+    return mahalanobis(xT.T, params.means, params.inv_chol).T
+
+
+def mahalanobis_all(params: MixtureParams, x) -> jax.Array:
+    """``(N, K)`` squared Mahalanobis distances of row-major ``x (N, D)``."""
+    return mahalanobis_all_T(params, jnp.asarray(x).T).T
 
 
 def component_logpdfs(params: MixtureParams, x) -> jax.Array:
@@ -201,25 +212,34 @@ def component_logpdfs(params: MixtureParams, x) -> jax.Array:
     return log_norm[None, :] - 0.5 * maha
 
 
-def mixture_logpdf(params: MixtureParams, x) -> jax.Array:
-    """Mixture log-density ``log q(x_n)``, shape ``(N,)``.
+def mixture_logpdf_T(params: MixtureParams, xT) -> jax.Array:
+    """Mixture log-density ``log q(x_n)``, shape ``(N,)``, for TRANSPOSED
+    particles ``xT (D, N)`` -- the native TPU layout (the particle axis on
+    the 128-lane dimension; a row-major (N, D) array with small D wastes up
+    to 98% of VPU lanes and >10x HBM to tile padding).
 
-    Fuses :func:`component_logpdfs` with the weighted log-sum-exp
-    (``mixture.pyx:101-110``).  On TPU/float32 this runs as a single Pallas
-    kernel that never materializes the ``(N, K, D)`` projection in HBM.
+    Fuses the per-component log-densities with the weighted log-sum-exp
+    (``mixture.pyx:101-110``) in a single Pallas kernel on TPU/float32.
     """
-    x = jnp.asarray(x)
-    if use_pallas(x) and x.shape[0] >= 1024:
+    xT = jnp.asarray(xT)
+    if use_pallas(xT) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_logq
 
-        a, b, log_norm, weights, dof = _pallas_operands(params, "inv_chol")
-        return fused_logq(x, a, b, log_norm, weights, dof, dim=params.dim)
-    return logsumexp(component_logpdfs(params, x), params.weights, axis=-1)
+        a2, b2, log_norm, weights, dof = _pallas_operands(params, "inv_chol")
+        return fused_logq(xT, a2, b2, log_norm, weights, dof, dim=params.dim)
+    return logsumexp(component_logpdfs(params, xT.T), params.weights, axis=-1)
+
+
+def mixture_logpdf(params: MixtureParams, x) -> jax.Array:
+    """Mixture log-density for row-major ``x (N, D)`` (host-facing API;
+    jitted pipelines should prefer :func:`mixture_logpdf_T`)."""
+    return mixture_logpdf_T(params, jnp.asarray(x).T)
 
 
 @partial(jax.jit, static_argnames=("n",))
-def propose(params: MixtureParams, key, n: int):
-    """Draw ``n`` samples from the mixture; return ``(samples, latent)``.
+def propose_T(params: MixtureParams, key, n: int):
+    """Draw ``n`` samples from the mixture in the TRANSPOSED layout; return
+    ``(samples_T (D, n), latent (n,))``.
 
     Per-particle categorical component choice + affine transform of standard
     normals (Student-t additionally scales by ``sqrt(dof / chi2(dof))``,
@@ -231,7 +251,7 @@ def propose(params: MixtureParams, key, n: int):
     dtype = params.means.dtype
     log_w = jnp.log(params.weights)  # dead components: -inf, never drawn
     latent = jax.random.categorical(k_cat, log_w, shape=(n,))
-    z = jax.random.normal(k_norm, (n, params.dim), dtype=dtype)
+    zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
     if params.is_student_t:
         dof_n = params.dof[latent]
@@ -240,22 +260,29 @@ def propose(params: MixtureParams, key, n: int):
     else:
         scale = jnp.ones((n,), dtype=dtype)
 
-    if use_pallas(z) and n >= 1024:
+    if use_pallas(zT) and n >= 1024:
         # fused transform: the per-particle (D, D) parameter select happens
         # in VMEM instead of an (N, D, D) gather in HBM
         from ..ops.pallas_kernels import fused_transform
 
-        ct = jnp.transpose(params.chol, (2, 0, 1)).reshape(
-            params.dim, params.K * params.dim
-        )
-        samples = fused_transform(
-            z, latent.astype(jnp.int32), scale, ct, params.means, dim=params.dim
+        ct2 = params.chol.reshape(params.K * params.dim, params.dim)
+        samples_T = fused_transform(
+            zT, latent.astype(jnp.int32), scale, ct2, params.means.T,
+            dim=params.dim,
         )
     else:
-        scaled = jnp.einsum("nij,nj->ni", params.chol[latent], z,
+        scaled = jnp.einsum("nij,jn->ni", params.chol[latent], zT,
                             precision="highest")
-        samples = params.means[latent] + scaled * scale[:, None]
-    return samples, latent
+        samples_T = (params.means[latent] + scaled * scale[:, None]).T
+    return samples_T, latent
+
+
+@partial(jax.jit, static_argnames=("n",))
+def propose(params: MixtureParams, key, n: int):
+    """Row-major variant of :func:`propose_T`: returns
+    ``(samples (n, D), latent (n,))``."""
+    samples_T, latent = propose_T(params, key, n)
+    return samples_T.T, latent
 
 
 def update_masked(params: MixtureParams, new_means, new_covs, new_weights,

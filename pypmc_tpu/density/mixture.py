@@ -133,9 +133,9 @@ class MixtureDensity(ProbabilityDensity):
         if batched:
             from ..sampler._target import batched_target
 
-            @batched_target
-            def log_q(x):
-                return _core.mixture_logpdf(params, jnp.asarray(x))
+            @batched_target(transposed=True)
+            def log_q(xT):
+                return _core.mixture_logpdf_T(params, jnp.asarray(xT))
 
             return log_q
 

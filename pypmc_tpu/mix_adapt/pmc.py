@@ -33,65 +33,76 @@ import logging
 logger = logging.getLogger(__name__)
 
 __all__ = ["gaussian_pmc", "student_t_pmc", "PMC",
-           "calculate_rho_rb", "pmc_update", "PMCResult"]
+           "calculate_rho_rb", "calculate_rho_rb_T", "pmc_update", "PMCResult"]
 
 
 # --------------------------------------------------------------------- #
 # functional core (jittable)                                            #
 # --------------------------------------------------------------------- #
 
-def calculate_rho_rb(params: _core.MixtureParams, samples) -> jax.Array:
-    """Rao-Blackwellized responsibilities ``rho`` with shape ``(N, K)``.
+def calculate_rho_rb_T(params: _core.MixtureParams, samples_T) -> jax.Array:
+    """Rao-Blackwellized responsibilities ``rho`` with shape ``(K, N)`` for
+    TRANSPOSED particles ``samples_T (D, N)``.
 
-    ``rho[n,k] = w_k q_k(x_n) / (q(x_n) + tiny)`` -- the reference's
+    ``rho[k,n] = w_k q_k(x_n) / (q(x_n) + tiny)`` -- the reference's
     ``calculate_rho_rb`` (``pmc.pyx:23-43``) as one fused batched kernel.
     Dead components (weight 0) get exactly zero.  On TPU/float32 this runs
     as a single fused Pallas pass over the particles.
     """
-    samples = jnp.asarray(samples)
-    if _core.use_pallas(samples) and samples.shape[0] >= 1024:
+    samples_T = jnp.asarray(samples_T)
+    if _core.use_pallas(samples_T) and samples_T.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_rho
 
-        a, b, log_norm, weights, dof = _core._pallas_operands(params, "inv_chol")
-        rho, _ = fused_rho(samples, a, b, log_norm, weights, dof, dim=params.dim)
+        a2, b2, log_norm, weights, dof = _core._pallas_operands(params, "inv_chol")
+        rho, _ = fused_rho(samples_T, a2, b2, log_norm, weights, dof, dim=params.dim)
         return rho
-    logpdfs = _core.component_logpdfs(params, samples)
+    logpdfs = _core.component_logpdfs(params, samples_T.T)  # (N, K)
     log_denom = logsumexp(logpdfs, params.weights, axis=-1)
     t = tiny(log_denom.dtype)
     rho = jnp.exp(logpdfs) * params.weights[None, :] / (jnp.exp(log_denom)[:, None] + t)
-    return jnp.where(params.weights[None, :] > 0, rho, 0.0)
+    return jnp.where(params.weights[None, :] > 0, rho, 0.0).T
 
 
-def _rho_non_rb(params: _core.MixtureParams, latent, n_components: int) -> jax.Array:
-    """One-hot responsibilities from latent variables (``pmc.pyx:45-51``),
-    zeroed for dead components."""
-    onehot = jax.nn.one_hot(latent, n_components, dtype=params.weights.dtype)
-    return jnp.where(params.weights[None, :] > 0, onehot, 0.0)
+def calculate_rho_rb(params: _core.MixtureParams, samples) -> jax.Array:
+    """Row-major variant of :func:`calculate_rho_rb_T`: ``rho (N, K)`` for
+    ``samples (N, D)``."""
+    return calculate_rho_rb_T(params, jnp.asarray(samples).T).T
 
 
-def _cov_sums(samples, c, mu):
+def _rho_non_rb_T(params: _core.MixtureParams, latent, n_components: int) -> jax.Array:
+    """One-hot responsibilities (K, N) from latent variables
+    (``pmc.pyx:45-51``), zeroed for dead components."""
+    ks = jnp.arange(n_components, dtype=latent.dtype)[:, None]
+    onehot = (latent[None, :] == ks).astype(params.weights.dtype)
+    return jnp.where(params.weights[:, None] > 0, onehot, 0.0)
+
+
+def _cov_sums_T(samples_T, c_T, mu):
     """``(K, D, D)`` centered second-moment sums
-    ``S_k = sum_n c_nk (x_n - mu_k)(x_n - mu_k)^T``.
+    ``S_k = sum_n c_kn (x_n - mu_k)(x_n - mu_k)^T`` for transposed
+    particles.
 
-    Mapped sequentially over K so only an ``(N, D)`` intermediate exists per
-    component; each step is an MXU matmul ``(D, N) @ (N, D)``.
+    Mapped sequentially over K so only a ``(D, N)`` intermediate exists per
+    component; each step is an MXU matmul ``(D, N) @ (N, D)`` with the huge
+    particle axis as the contraction dimension.
     """
     def per_k(args):
         c_k, mu_k = args  # (N,), (D,)
-        diff = samples - mu_k[None, :]
-        return jnp.einsum("n,ni,nj->ij", c_k, diff, diff, precision="highest")
+        diff = samples_T - mu_k[:, None]
+        return jnp.einsum("n,in,jn->ij", c_k, diff, diff, precision="highest")
 
-    return jax.lax.map(per_k, (c.T, mu))
+    return jax.lax.map(per_k, (c_T, mu))
 
 
 class PMCResult(NamedTuple):
     params: _core.MixtureParams
-    rho: jax.Array            # (N, K) responsibilities
+    rho: jax.Array            # (K, N) responsibilities (transposed layout)
     updated_ok: jax.Array     # (K,) bool; updated components that stayed valid
     live: jax.Array           # (K,) bool; live components before the update
 
 
-@partial(jax.jit, static_argnames=("rb", "mincount", "dof_solver_steps", "axis_name"))
+@partial(jax.jit, static_argnames=("rb", "mincount", "dof_solver_steps",
+                                   "axis_name", "transposed"))
 def pmc_update(
     params: _core.MixtureParams,
     samples,
@@ -103,13 +114,16 @@ def pmc_update(
     mindof: float = 1e-5,
     maxdof: float = 1e3,
     axis_name: Optional[str] = None,
+    transposed: bool = False,
 ) -> PMCResult:
     """One (M-)PMC update of a Gaussian or Student-t mixture ([Cap+08] eq. 14,
     [HOD12] for the dof) as a single jitted computation.
 
     :param params: stacked mixture parameters (Gaussian iff ``params.dof`` is
         None).
-    :param samples: ``(N, D)`` samples drawn from the current mixture.
+    :param samples: ``(N, D)`` samples drawn from the current mixture, or
+        ``(D, N)`` with ``transposed=True`` (the native TPU layout; hot
+        pipelines should pass transposed to avoid layout conversions).
     :param weights: ``(N,)`` unnormalized importance weights, or None for
         equal weights.
     :param latent: ``(N,)`` int indices of the generating components, or
@@ -128,11 +142,14 @@ def pmc_update(
         reference's O(N D) MPI gather-to-rank-0,
         ``tools/parallel_sampler.py:58-71``).  Every shard computes the
         identical updated mixture.
+    :param transposed: whether ``samples`` is ``(D, N)``.
     """
-    samples = jnp.asarray(samples)
-    N, dim = samples.shape
+    samples_T = jnp.asarray(samples)
+    if not transposed:
+        samples_T = samples_T.T
+    dim, N = samples_T.shape
     K = params.K
-    dtype = samples.dtype
+    dtype = samples_T.dtype
 
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -147,9 +164,9 @@ def pmc_update(
     live = params.weights > 0
 
     if rb:
-        rho = calculate_rho_rb(params, samples)
+        rho = calculate_rho_rb_T(params, samples_T)   # (K, N)
     else:
-        rho = _rho_non_rb(params, latent, K)
+        rho = _rho_non_rb_T(params, latent, K)
 
     # kill components with fewer than ``mincount`` samples AFTER rho is
     # computed (``pmc.pyx:109-116``)
@@ -158,35 +175,35 @@ def pmc_update(
         live = live & (count >= mincount)
 
     # ---- [Cap+08] eq. (14) sufficient statistics ---------------------- #
-    wrho = w[:, None] * rho                          # (N, K)
-    alpha_unnorm = psum(jnp.sum(wrho, axis=0))       # (K,)
+    wrho = w[None, :] * rho                          # (K, N)
+    alpha_unnorm = psum(jnp.sum(wrho, axis=1))       # (K,)
     inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
     alpha = alpha_unnorm / weight_normalization
 
     if params.is_student_t:
         # gamma pass with the OLD parameters (``pmc.pyx:601-610``)
-        maha_old = _core.mahalanobis_all(params, samples)
-        nu = params.dof[None, :]
-        gamma = (nu + dim) / (nu + maha_old)         # (N, K)
+        maha_old = _core.mahalanobis_all_T(params, samples_T)   # (K, N)
+        nu = params.dof[:, None]
+        gamma = (nu + dim) / (nu + maha_old)         # (K, N)
         c_mu = wrho * gamma
-        mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=0)))
-        mu = psum(jnp.einsum("nk,ni->ki", c_mu, samples, precision="highest")) * mu_norm[:, None]
-        cov = psum(_cov_sums(samples, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
+        mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=1)))
+        mu = psum(jnp.einsum("kn,in->ki", c_mu, samples_T, precision="highest")) * mu_norm[:, None]
+        cov = psum(_cov_sums_T(samples_T, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
     else:
-        mu = psum(jnp.einsum("nk,ni->ki", wrho, samples, precision="highest")) * inv_unnorm_alpha[:, None]
-        cov = psum(_cov_sums(samples, wrho, mu)) * inv_unnorm_alpha[:, None, None]
+        mu = psum(jnp.einsum("kn,in->ki", wrho, samples_T, precision="highest")) * inv_unnorm_alpha[:, None]
+        cov = psum(_cov_sums_T(samples_T, wrho, mu)) * inv_unnorm_alpha[:, None, None]
 
     # ---- Student-t dof first-order condition, [HOD12] eq. (16) -------- #
     new_dofs = None
     if params.is_student_t and dof_solver_steps:
-        nu_old = params.dof[None, :]
-        b = maha_old  # bilinear form with old inverse sigma
+        nu_old = params.dof[:, None]
+        b = maha_old  # bilinear form with old inverse sigma, (K, N)
         xi = rho * (jnp.log(0.5 * (b + nu_old))
                     - jax.scipy.special.digamma(0.5 * (dim + nu_old))) \
             + (1.0 - rho) * (jnp.log(0.5 * nu_old)
                              - jax.scipy.special.digamma(0.5 * nu_old))
         delta = rho * (dim + nu_old) / (b + nu_old) + (1.0 - rho)
-        const = 1.0 - psum(jnp.einsum("nk,n->k", xi + delta, w)) / weight_normalization
+        const = 1.0 - psum(jnp.einsum("kn,n->k", xi + delta, w)) / weight_normalization
 
         def condition(nu, c):
             return c + jnp.log(0.5 * nu) - jax.scipy.special.digamma(0.5 * nu)
@@ -224,13 +241,18 @@ def pmc_update(
     return PMCResult(params=new_params, rho=rho, updated_ok=ok, live=live)
 
 
-@partial(jax.jit, static_argnames=("axis_name",))
+@partial(jax.jit, static_argnames=("axis_name", "transposed"))
 def pmc_log_likelihood(params: _core.MixtureParams, samples,
-                       normalized_weights=None, axis_name: Optional[str] = None):
+                       normalized_weights=None, axis_name: Optional[str] = None,
+                       transposed: bool = False):
     """Log likelihood according to eq. (5) in [Cap+08]
     (``pmc.pyx:371-391``): the weighted mean of ``log q(x_n)``.  With
     ``axis_name``, inputs are local shards and the reduction is a psum."""
-    log_q = _core.mixture_logpdf(params, samples)
+    samples = jnp.asarray(samples)
+    if transposed:
+        log_q = _core.mixture_logpdf_T(params, samples)
+    else:
+        log_q = _core.mixture_logpdf(params, samples)
 
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -373,8 +395,10 @@ class PMC(object):
 
         self.density = _cp(density)
         self.samples = samples
-        self._samples_dev = jnp.asarray(samples)
+        # keep the particles on device ONCE, transposed (native TPU layout)
+        self._samples_T_dev = jnp.asarray(samples).T
         self.latent = latent
+        self._latent_dev = None if latent is None else jnp.asarray(_np.asarray(latent))
         self.rb = rb
         self.mincount = mincount
         self.additional_args = kwargs
@@ -390,10 +414,33 @@ class PMC(object):
         return float(
             pmc_log_likelihood(
                 self.density.stacked_params(),
-                self._samples_dev,
+                self._samples_T_dev,
                 self._normalized_weights_dev,
+                transposed=True,
             )
         )
+
+    def _update_once(self):
+        """One PMC update on the cached device-resident (transposed)
+        particles; mutates ``self.density``."""
+        params = self.density.stacked_params()
+        kwargs = dict(self.additional_args)
+        if self.density.kind != "student_t":
+            kwargs.setdefault("dof_solver_steps", 0)
+        result = pmc_update(
+            params,
+            self._samples_T_dev,
+            None if self.weights is None else jnp.asarray(self.weights),
+            self._latent_dev,
+            rb=self.rb,
+            mincount=int(self.mincount),
+            transposed=True,
+            **kwargs,
+        )
+        failed = _np.asarray(result.live & ~result.updated_ok)
+        for k in _np.flatnonzero(failed):
+            logger.warning("Could not update component %i --> weight is set to zero." % k)
+        self.density.set_params(result.params)
 
     def run(self, iterations=1000, prune=0.0, rel_tol=1e-10, abs_tol=1e-5):
         r"""Run PMC updates until convergence of the log-likelihood
@@ -413,9 +460,7 @@ class PMC(object):
                 old_bound = self.log_likelihood()
                 logger.info("New bound=%g, K=%i" % (old_bound, len(self.density)))
 
-            self.pmc(self.samples, self.density, self.weights, self.latent,
-                     rb=self.rb, mincount=self.mincount, copy=False,
-                     **self.additional_args)
+            self._update_once()
             bound = self.log_likelihood()
 
             logger.info(

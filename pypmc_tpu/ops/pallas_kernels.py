@@ -1,30 +1,37 @@
 """Fused Pallas TPU kernels for the mixture hot path.
 
 These kernels are the TPU-native analog of the reference's Cython layer: the
-operations that dominate at N ~ 10^6..10^8 particles, written so that NO
-O(N*K*D) intermediate ever touches HBM (the plain XLA formulation
-materializes the (N, K, D) projection tensor, which both saturates HBM
-bandwidth and OOMs at large N):
+operations that dominate at N ~ 10^6..10^8 particles.
 
-* :func:`fused_logq` -- mixture log-density: per-tile (TN, D) @ (D, K*D)
-  projection on the MXU, squared-distance reduction, component log-pdfs and
-  the weighted log-sum-exp, reading x once and writing only (N,).
+Layout: particles are carried TRANSPOSED, ``xT (D, N)`` ("structure of
+arrays").  TPU tiles are (sublane, 128-lane); a row-major ``(N, D)`` array
+with D ~ 2..40 pads every row to 128 lanes, wasting up to 98% of VPU lanes
+and >10x HBM capacity/bandwidth.  In the transposed layout the huge particle
+axis IS the lane axis, so every elementwise op runs at full width and the
+per-tile matmuls stream ``(K*D, D) @ (D, TN)`` through the MXU.
+
+* :func:`fused_logq` -- mixture log-density ``(N,)``: projection,
+  Mahalanobis reduction, component log-pdfs and the weighted log-sum-exp in
+  one pass; no O(N*K*D) HBM intermediates.
 * :func:`fused_rho` -- same, plus the Rao-Blackwellized responsibilities
-  rho (N, K) (the PMC E-step input, ``mix_adapt/pmc.pyx:23-43``).
+  ``rho (K, N)`` (the PMC E-step input, ``mix_adapt/pmc.pyx:23-43``).
+* :func:`fused_maha` -- squared Mahalanobis distances ``(K, N)``.
 * :func:`fused_transform` -- the mixture-proposal affine transform
   ``sample = mu[latent] + (chol[latent] @ z) * scale`` with the per-particle
-  component select done in VMEM via a one-hot contraction instead of an
+  component select done in VMEM via one-hot contractions instead of an
   (N, D, D) parameter gather in HBM.
 
-All kernels pad N to the tile size internally; K and D are static per
-compilation.  dtype follows the inputs (designed for float32 on TPU).
+Mosaic does not support lane/sublane-splitting reshapes inside kernels, so
+all per-component-block reductions are expressed as tiny 0/1 selector
+matmuls.  All matmuls use HIGHEST precision (float32-accurate; the TPU
+default bf16 passes cost ~3 decimal digits in the distances).  N is padded
+to the lane-tile size internally; K and D are static per compilation.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,97 +42,90 @@ __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform", "pick_til
 INTERPRET = False
 
 
-def pick_tile(K: int, D: int, vmem_budget_bytes: int = 4 * 1024 * 1024) -> int:
-    """Choose the particle-tile size so the per-tile working set stays well
-    inside VMEM.  Lane dimensions are padded to 128 on TPU, so the cost per
-    row is dominated by a handful of (TN, pad128(K*D)) buffers (plus double
-    buffering across the grid)."""
-
-    def pad128(n):
-        return (n + 127) // 128 * 128
-
-    bytes_per_row = 4 * (3 * pad128(D) + 3 * pad128(K * D) + 3 * pad128(K))
-    tn = vmem_budget_bytes // max(1, bytes_per_row)
-    tn = max(256, min(2048, int(tn)))
-    # multiple of 256 keeps the sublane dimension aligned for f32
-    return (tn // 256) * 256
+def _pad8(n):
+    return (n + 7) // 8 * 8
 
 
-def _pad_rows(x, tile):
-    n = x.shape[0]
+def pick_tile(K: int, D: int, vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Particle-tile (lane) size: the per-lane VMEM cost is a handful of
+    (pad8(K*D), TN), (pad8(K), TN) and (pad8(D), TN) buffers."""
+    bytes_per_lane = 4 * (3 * _pad8(K * D) + 3 * _pad8(K) + 3 * _pad8(D))
+    tn = vmem_budget_bytes // max(1, bytes_per_lane)
+    tn = max(512, min(16384, int(tn)))
+    return (tn // 512) * 512
+
+
+def _pad_lanes(x, tile):
+    """Pad the LAST axis of ``x`` to a multiple of ``tile``."""
+    n = x.shape[-1]
     padded = (n + tile - 1) // tile * tile
     if padded == n:
         return x, n
-    pad = [(0, padded - n)] + [(0, 0)] * (x.ndim - 1)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
     return jnp.pad(x, pad), n
 
 
 def _dot(x, y):
     """float32-accurate MXU matmul (the default TPU matmul precision uses
-    bfloat16 passes, which costs ~3 decimal digits in the Mahalanobis
-    distances; these matmuls are tiny, the kernels stay bandwidth-bound)."""
+    bfloat16 passes; these matmuls are tiny relative to bandwidth)."""
     return jnp.dot(x, y, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _block_sum_selector(kd, K, dim, dtype):
-    """(K*D, K) 0/1 matrix summing each length-D lane block: S[k*D+i, k] = 1.
-
-    Mosaic does not support lane-splitting reshapes like (TN, K*D) ->
-    (TN, K, D) inside a kernel, so per-block reductions are expressed as a
-    small matmul instead (runs on the MXU)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (kd, K), 0) // dim
-    cols = jax.lax.broadcasted_iota(jnp.int32, (kd, K), 1)
+def _block_selector(K, kd, dim, dtype):
+    """(K, K*D) 0/1 matrix summing each length-D sublane block:
+    S[k, k*D+i] = 1."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, kd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, kd), 1) // dim
     return (rows == cols).astype(dtype)
 
 
-def _lane_pos_selector(kd, dim, dtype):
-    """(K*D, D) 0/1 matrix extracting the within-block lane position:
-    R[k*D+i, i] = 1."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (kd, dim), 0) % dim
-    cols = jax.lax.broadcasted_iota(jnp.int32, (kd, dim), 1)
+def _pos_selector(dim, kd, dtype):
+    """(D, K*D) 0/1 matrix extracting the within-block position:
+    R[i, k*D+i] = 1."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (dim, kd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (dim, kd), 1) % dim
     return (rows == cols).astype(dtype)
 
 
-def _component_logpdfs_tile(x, a, b, log_norm, dof, dim):
-    """(TN, K) component log-densities from a (TN, D) tile.
+def _component_logpdfs_tile(x, a2, b2, log_norm, dof, dim):
+    """(K, TN) component log-densities from a (D, TN) tile.
 
-    ``a`` is the (D, K*D) stacked transposed inverse-Cholesky factors,
-    ``b`` the (1, K*D) projected means, so the Mahalanobis distances come
-    from ONE MXU matmul per tile.
+    ``a2 (K*D, D)`` stacks the inverse-Cholesky factors, ``b2 (K*D, 1)``
+    the projected means; the Mahalanobis distances come from one streaming
+    MXU matmul plus a selector contraction.
     """
-    kd = a.shape[1]
+    kd = a2.shape[0]
     K = kd // dim
-    proj = _dot(x, a)  # (TN, K*D)
-    diff = proj - b
-    seg = _block_sum_selector(kd, K, dim, x.dtype)
-    maha = _dot(diff * diff, seg)  # (TN, K)
+    proj = _dot(a2, x)            # (K*D, TN)
+    diff = proj - b2
+    seg = _block_selector(K, kd, dim, x.dtype)
+    maha = _dot(seg, diff * diff)  # (K, TN)
     if dof is not None:
         return log_norm - 0.5 * (dof + dim) * jnp.log1p(maha / dof)
     return log_norm - 0.5 * maha
 
 
 def _weighted_lse(ind, w):
-    """Row-wise weighted log-sum-exp of (TN, K) with (1, K) linear weights."""
-    m = jnp.max(ind, axis=1, keepdims=True)
-    s = jnp.sum(w * jnp.exp(ind - m), axis=1, keepdims=True)
-    return jnp.log(s) + m  # (TN, 1)
+    """Column-wise weighted log-sum-exp of (K, TN) with (K, 1) weights."""
+    m = jnp.max(ind, axis=0, keepdims=True)
+    s = jnp.sum(w * jnp.exp(ind - m), axis=0, keepdims=True)
+    return jnp.log(s) + m  # (1, TN)
 
 
-def _logq_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref, out_ref, *, dim, student_t):
-    x = x_ref[:]
+def _logq_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref, out_ref, *,
+                 dim, student_t):
     dof = dof_ref[:] if student_t else None
-    ind = _component_logpdfs_tile(x, a_ref[:], b_ref[:], ln_ref[:], dof, dim)
-    out_ref[:] = _weighted_lse(ind, w_ref[:])  # (TN, 1)
+    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], b_ref[:], ln_ref[:], dof, dim)
+    out_ref[:] = _weighted_lse(ind, w_ref[:])
 
 
 def _rho_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref,
                 rho_ref, logq_ref, *, dim, student_t, tiny):
-    x = x_ref[:]
     dof = dof_ref[:] if student_t else None
     w = w_ref[:]
-    ind = _component_logpdfs_tile(x, a_ref[:], b_ref[:], ln_ref[:], dof, dim)
-    lse = _weighted_lse(ind, w)  # (TN, 1)
+    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], b_ref[:], ln_ref[:], dof, dim)
+    lse = _weighted_lse(ind, w)
     # reference formula (pmc.pyx:37-41): exp(ind) * w / (exp(lse) + tiny)
     rho = jnp.exp(ind) * w / (jnp.exp(lse) + tiny)
     rho_ref[:] = jnp.where(w > 0, rho, 0.0)
@@ -133,33 +133,34 @@ def _rho_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref,
 
 
 def _maha_kernel(x_ref, a_ref, b_ref, out_ref, *, dim):
-    kd = a_ref.shape[1]
+    kd = a_ref.shape[0]
     K = kd // dim
-    proj = _dot(x_ref[:], a_ref[:])
+    proj = _dot(a_ref[:], x_ref[:])
     diff = proj - b_ref[:]
-    seg = _block_sum_selector(kd, K, dim, proj.dtype)
-    out_ref[:] = _dot(diff * diff, seg)
+    seg = _block_selector(K, kd, dim, proj.dtype)
+    out_ref[:] = _dot(seg, diff * diff)
 
 
-def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *, dim, n_comp):
-    tn = z_ref.shape[0]
-    z = z_ref[:]
-    y = _dot(z, ct_ref[:])  # (TN, K*D)
-    kd = ct_ref.shape[1]
-    lat = lat_ref[:]  # (TN, 1)
-    ks = jax.lax.broadcasted_iota(jnp.int32, (tn, n_comp), 1)
-    onehot = (lat == ks).astype(z.dtype)  # (TN, K)
-    # expand the one-hot over each length-D lane block, mask, then contract
-    # the block structure away with selector matmuls (no in-kernel reshapes)
-    seg = _block_sum_selector(kd, n_comp, dim, z.dtype)  # (K*D, K)
-    pos = _lane_pos_selector(kd, dim, z.dtype)           # (K*D, D)
-    onehot_exp = _dot(onehot, seg.T)
-    y_sel = _dot(y * onehot_exp, pos)
-    mu_sel = _dot(onehot, mu_ref[:])
+def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
+                      dim, n_comp):
+    z = z_ref[:]                          # (D, TN)
+    tn = z.shape[1]
+    kd = ct_ref.shape[0]
+    y = _dot(ct_ref[:], z)                # (K*D, TN); y[k*D+i, n] = (chol_k z_n)[i]
+    lat = lat_ref[:]                      # (1, TN) int32
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
+    onehot = (lat == ks).astype(z.dtype)  # (K, TN)
+    # expand the one-hot over each length-D sublane block, mask, then
+    # contract the block structure away (no in-kernel reshapes)
+    seg = _block_selector(n_comp, kd, dim, z.dtype)   # (K, K*D)
+    pos = _pos_selector(dim, kd, z.dtype)             # (D, K*D)
+    onehot_exp = _dot(seg.T, onehot)                  # (K*D, TN)
+    y_sel = _dot(pos, y * onehot_exp)                 # (D, TN)
+    mu_sel = _dot(mu_ref[:], onehot)                  # (D, K) @ (K, TN)
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
-def _small_specs(tile, shapes):
+def _small_specs(shapes):
     """Block specs for small replicated (non-tiled) operands."""
     return [
         pl.BlockSpec(s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM)
@@ -167,133 +168,129 @@ def _small_specs(tile, shapes):
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("dim",))
-def fused_logq(x, a, b, log_norm, weights, dof, *, dim):
-    """Mixture log-density ``(N,)`` for points ``x (N, D)``.
+def _lane_spec(rows, tile):
+    return pl.BlockSpec((rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    :param a: ``(D, K*D)`` with ``a[d, k*D+i] = U_k[i, d]`` (U = inverse
-        Cholesky factor of the k-th covariance).
-    :param b: ``(1, K*D)`` projected means ``b[0, k*D+i] = (U_k mu_k)[i]``.
-    :param log_norm: ``(1, K)`` per-component log-normalizations.
-    :param weights: ``(1, K)`` linear component weights (0 = dead).
-    :param dof: ``(1, K)`` degrees of freedom, or None for Gaussian.
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def fused_logq(xT, a2, b2, log_norm, weights, dof, *, dim):
+    """Mixture log-density ``(N,)`` for transposed points ``xT (D, N)``.
+
+    :param a2: ``(K*D, D)`` with ``a2[k*D+i, d] = U_k[i, d]`` (U = inverse
+        Cholesky factor of the k-th covariance; ``inv_chol.reshape(K*D, D)``).
+    :param b2: ``(K*D, 1)`` projected means ``b2[k*D+i, 0] = (U_k mu_k)[i]``.
+    :param log_norm: ``(K, 1)`` per-component log-normalizations.
+    :param weights: ``(K, 1)`` linear component weights (0 = dead).
+    :param dof: ``(K, 1)`` degrees of freedom, or None for Gaussian.
     """
-    n = x.shape[0]
-    kd = a.shape[1]
+    kd = a2.shape[0]
     K = kd // dim
     tile = pick_tile(K, dim)
-    x, n_orig = _pad_rows(x, tile)
-    grid = x.shape[0] // tile
+    xT, n_orig = _pad_lanes(xT, tile)
+    grid = xT.shape[1] // tile
     student_t = dof is not None
     if dof is None:
-        dof = jnp.zeros((1, K), dtype=x.dtype)
+        dof = jnp.zeros((K, 1), dtype=xT.dtype)
 
     out = pl.pallas_call(
         functools.partial(_logq_kernel, dim=dim, student_t=student_t),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_small_specs(tile, [(dim, kd), (1, kd), (1, K), (1, K), (1, K)]),
+            _lane_spec(dim, tile),
+            *_small_specs([(kd, dim), (kd, 1), (K, 1), (K, 1), (K, 1)]),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), x.dtype),
+        out_specs=_lane_spec(1, tile),
+        out_shape=jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(x, a, b, log_norm, weights, dof)
-    return out.reshape(-1)[:n_orig]
+    )(xT, a2, b2, log_norm, weights, dof)
+    return out[0, :n_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_rho(x, a, b, log_norm, weights, dof, *, dim):
-    """Rao-Blackwellized responsibilities ``rho (N, K)`` and mixture
+def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
+    """Rao-Blackwellized responsibilities ``rho (K, N)`` and mixture
     log-density ``(N,)`` in one fused pass (arguments as
     :func:`fused_logq`)."""
-    n = x.shape[0]
-    kd = a.shape[1]
+    kd = a2.shape[0]
     K = kd // dim
     tile = pick_tile(K, dim)
-    x, n_orig = _pad_rows(x, tile)
-    grid = x.shape[0] // tile
+    xT, n_orig = _pad_lanes(xT, tile)
+    grid = xT.shape[1] // tile
     student_t = dof is not None
     if dof is None:
-        dof = jnp.zeros((1, K), dtype=x.dtype)
-    tiny = float(jnp.finfo(x.dtype).tiny)
+        dof = jnp.zeros((K, 1), dtype=xT.dtype)
+    tiny = float(jnp.finfo(xT.dtype).tiny)
 
     rho, logq = pl.pallas_call(
         functools.partial(_rho_kernel, dim=dim, student_t=student_t, tiny=tiny),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_small_specs(tile, [(dim, kd), (1, kd), (1, K), (1, K), (1, K)]),
+            _lane_spec(dim, tile),
+            *_small_specs([(kd, dim), (kd, 1), (K, 1), (K, 1), (K, 1)]),
         ],
-        out_specs=[
-            pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[_lane_spec(K, tile), _lane_spec(1, tile)],
         out_shape=[
-            jax.ShapeDtypeStruct((x.shape[0], K), x.dtype),
-            jax.ShapeDtypeStruct((x.shape[0], 1), x.dtype),
+            jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
+            jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         ],
         interpret=INTERPRET,
-    )(x, a, b, log_norm, weights, dof)
-    return rho[:n_orig], logq.reshape(-1)[:n_orig]
+    )(xT, a2, b2, log_norm, weights, dof)
+    return rho[:, :n_orig], logq[0, :n_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_maha(x, a, b, *, dim):
-    """``(N, K)`` squared Mahalanobis distances (arguments as
-    :func:`fused_logq`) without the ``(N, K, D)`` HBM intermediate."""
-    kd = a.shape[1]
+def fused_maha(xT, a2, b2, *, dim):
+    """``(K, N)`` squared Mahalanobis distances (arguments as
+    :func:`fused_logq`)."""
+    kd = a2.shape[0]
     K = kd // dim
     tile = pick_tile(K, dim)
-    x, n_orig = _pad_rows(x, tile)
-    grid = x.shape[0] // tile
+    xT, n_orig = _pad_lanes(xT, tile)
+    grid = xT.shape[1] // tile
 
     out = pl.pallas_call(
         functools.partial(_maha_kernel, dim=dim),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_small_specs(tile, [(dim, kd), (1, kd)]),
-        ],
-        out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], K), x.dtype),
+        in_specs=[_lane_spec(dim, tile), *_small_specs([(kd, dim), (kd, 1)])],
+        out_specs=_lane_spec(K, tile),
+        out_shape=jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(x, a, b)
-    return out[:n_orig]
+    )(xT, a2, b2)
+    return out[:, :n_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_transform(z, latent, scale, ct, mu, *, dim):
-    """Per-particle mixture affine transform
-    ``out[n] = mu[latent[n]] + (chol[latent[n]] @ z[n]) * scale[n]``.
+def fused_transform(zT, latent, scale, ct2, mu2, *, dim):
+    """Per-particle mixture affine transform (transposed layout):
+    ``out[:, n] = mu[latent[n]] + (chol[latent[n]] @ z[:, n]) * scale[n]``.
 
-    :param z: ``(N, D)`` standard normals.
+    :param zT: ``(D, N)`` standard normals.
     :param latent: ``(N,)`` int32 component indices.
     :param scale: ``(N,)`` per-particle scale (1 for Gaussian,
         ``sqrt(dof/chi2)`` for Student-t).
-    :param ct: ``(D, K*D)`` with ``ct[d, k*D+i] = chol_k[i, d]``.
-    :param mu: ``(K, D)`` component means.
+    :param ct2: ``(K*D, D)`` with ``ct2[k*D+i, d] = chol_k[i, d]``
+        (``chol.reshape(K*D, D)``).
+    :param mu2: ``(D, K)`` component means, transposed.
     """
-    n = z.shape[0]
-    kd = ct.shape[1]
+    kd = ct2.shape[0]
     K = kd // dim
     tile = pick_tile(K, dim)
-    z, n_orig = _pad_rows(z, tile)
-    latent, _ = _pad_rows(latent, tile)
-    scale, _ = _pad_rows(scale, tile)
-    grid = z.shape[0] // tile
+    zT, n_orig = _pad_lanes(zT, tile)
+    lat2, _ = _pad_lanes(latent[None, :].astype(jnp.int32), tile)
+    scale2, _ = _pad_lanes(scale[None, :], tile)
+    grid = zT.shape[1] // tile
 
     out = pl.pallas_call(
         functools.partial(_transform_kernel, dim=dim, n_comp=K),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *_small_specs(tile, [(dim, kd), (K, dim)]),
+            _lane_spec(dim, tile),
+            _lane_spec(1, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim), (dim, K)]),
         ],
-        out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((z.shape[0], dim), z.dtype),
+        out_specs=_lane_spec(dim, tile),
+        out_shape=jax.ShapeDtypeStruct((dim, zT.shape[1]), zT.dtype),
         interpret=INTERPRET,
-    )(z, latent.reshape(-1, 1), scale.reshape(-1, 1), ct, mu)
-    return out[:n_orig]
+    )(zT, lat2, scale2, ct2, mu2)
+    return out[:, :n_orig]

@@ -29,20 +29,22 @@ __all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded", "PMCStep
 
 
 def _is_body(params, key, n_local, target):
-    """Per-shard importance-sampling step: propose, evaluate, weight."""
-    from ..sampler._target import evaluate_target
+    """Per-shard importance-sampling step: propose, evaluate, weight.
+    Particles are carried transposed ``(D, n_local)`` (native TPU layout)."""
+    from ..sampler._target import evaluate_target_T
 
-    samples, latent = _core.propose(params, key, n_local)
-    log_q = _core.mixture_logpdf(params, samples)
-    log_p = evaluate_target(target, samples)
+    samples_T, latent = _core.propose_T(params, key, n_local)
+    log_q = _core.mixture_logpdf_T(params, samples_T)
+    log_p = evaluate_target_T(target, samples_T)
     weights = jnp.exp(log_p - log_q)
-    return samples, weights, latent
+    return samples_T, weights, latent
 
 
 def run_is_step_sharded(params, target, key, n_total, mesh=None,
                         axis_name=PARTICLE_AXIS):
     """Draw ``n_total`` importance samples with the particle axis sharded
-    over ``mesh``; return globally-sharded ``(samples, weights, latent)``.
+    over ``mesh``; return globally-sharded ``(samples_T (D, n_total),
+    weights, latent)`` -- particles in the transposed device layout.
 
     Each shard folds the key with its mesh position, so results are
     deterministic for a fixed mesh size (the reference instead broadcasts a
@@ -61,7 +63,7 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
     )
     def step(params, key):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -98,7 +100,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
 
     Returns ``(params, stats)`` with ``stats`` a :class:`PMCStepStats` of
     ``(n_steps,)`` arrays; with ``return_final_samples`` additionally the
-    last step's sharded ``(samples, weights)``.
+    last step's sharded ``(samples_T (D, n_total), weights)``.
     """
     if mesh is None:
         mesh = particle_mesh()
@@ -116,17 +118,18 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
     )
     def step(params, key):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        samples, weights, latent = _is_body(params, my_key, n_local, target)
+        samples_T, weights, latent = _is_body(params, my_key, n_local, target)
         result = pmc_update(
-            params, samples, weights,
+            params, samples_T, weights,
             rb=rb,
             dof_solver_steps=dof_solver_steps if is_t else 0,
             mindof=mindof, maxdof=maxdof,
             axis_name=axis_name,
+            transposed=True,
         )
         # weight diagnostics (psum-reduced, replicated result)
         sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
@@ -139,11 +142,12 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         coeff_var = sum_w2 * n / sum_w**2 - 1.0
         ess = 1.0 / (1.0 + coeff_var)
         norm_w = weights / sum_w
-        loglik = pmc_log_likelihood(result.params, samples, norm_w, axis_name=axis_name)
+        loglik = pmc_log_likelihood(result.params, samples_T, norm_w,
+                                    axis_name=axis_name, transposed=True)
         stats = PMCStepStats(
             log_likelihood=loglik, perplexity=perp, ess=ess, evidence=sum_w / n
         )
-        return result.params, stats, samples, weights
+        return result.params, stats, samples_T, weights
 
     step = jax.jit(step)
 
@@ -205,13 +209,13 @@ class ParallelSampler(object):
             return 0
         n_total = int(N) * self.n_devices
         params = self.proposal.stacked_params()
-        samples, weights, latent = run_is_step_sharded(
+        samples_T, weights, latent = run_is_step_sharded(
             params, self.target, self._next_key(), n_total, self.mesh
         )
-        self.samples.append(n_total)[:] = _np.asarray(samples)
+        self.samples.append(n_total)[:] = _np.asarray(samples_T).T
         self.weights.append(n_total)[:, 0] = _np.asarray(weights)
         if self.target_values is not None:
-            log_q = _np.asarray(_core.mixture_logpdf(params, samples))
+            log_q = _np.asarray(_core.mixture_logpdf_T(params, samples_T))
             self.target_values.append(n_total)[:, 0] = (
                 _np.log(_np.asarray(weights)) + log_q
             )

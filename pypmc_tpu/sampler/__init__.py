@@ -8,4 +8,10 @@ from .importance_sampling import (
     combine_weights,
 )
 from .markov_chain import AdaptiveMarkovChain, MarkovChain, sample_adaptive_chains
-from ._target import batched_target, evaluate_target, is_batched
+from ._target import (
+    batched_target,
+    evaluate_target,
+    evaluate_target_T,
+    is_batched,
+    is_transposed,
+)

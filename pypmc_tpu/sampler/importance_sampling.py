@@ -22,7 +22,7 @@ from ..density.mixture import MixtureDensity
 from ..ops.lse import logsumexp
 from ..tools import History as _History
 from ..tools.indicator import merge_function_with_indicator as _indmerge
-from ._target import batched_target, evaluate_target, is_batched
+from ._target import batched_target, evaluate_target, evaluate_target_T, is_batched
 from .._rng import RNG_DEFAULT, as_jax_key
 
 __all__ = [
@@ -131,11 +131,13 @@ class ImportanceSampler(object):
 
         @partial(jax.jit, static_argnames=("n",))
         def step(params, key, n):
-            samples, latent = _core.propose(params, key, n)
-            log_q = _core.mixture_logpdf(params, samples)
-            log_p = evaluate_target(target, samples)
+            # particles stay transposed (D, n) on device -- the native TPU
+            # layout; the host History receives the (n, D) view for free
+            samples_T, latent = _core.propose_T(params, key, n)
+            log_q = _core.mixture_logpdf_T(params, samples_T)
+            log_p = evaluate_target_T(target, samples_T)
             weights = jnp.exp(log_p - log_q)
-            return samples, latent, weights, log_p
+            return samples_T, latent, weights, log_p
 
         return step
 
@@ -165,7 +167,7 @@ class ImportanceSampler(object):
                 self._step = self._build_step()
             params = self.proposal.stacked_params()
             try:
-                samples, latent, weights, log_p = self._step(params, self._next_key(), int(N))
+                samples_T, latent, weights, log_p = self._step(params, self._next_key(), int(N))
             except jax.errors.TracerArrayConversionError:
                 use_device = False
             except jax.errors.ConcretizationTypeError:
@@ -173,7 +175,7 @@ class ImportanceSampler(object):
         if not use_device:
             return self._run_host(N, trace_sort)
 
-        self.samples.append(N)[:] = _np.asarray(samples)
+        self.samples.append(N)[:] = _np.asarray(samples_T).T
         self.weights.append(N)[:, 0] = _np.asarray(weights)
         if self.target_values is not None:
             self.target_values.append(N)[:, 0] = _np.asarray(log_p)

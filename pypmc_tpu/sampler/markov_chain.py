@@ -92,12 +92,15 @@ class MarkovChain(object):
         self.samples = _History(len(self.current_point), prealloc)
         self.proposal = _cp(proposal)
         self.target = _indmerge(target, indicator, -_np.inf)
-        from ._target import is_batched
+        from ._target import is_batched, is_transposed
 
         if is_batched(self.target):
             # the chain kernel evaluates one point at a time
             raw_target = self.target
-            self.target = lambda x: raw_target(x[None, :])[0]
+            if is_transposed(self.target):
+                self.target = lambda x: raw_target(jnp.asarray(x)[:, None])[0]
+            else:
+                self.target = lambda x: raw_target(jnp.asarray(x)[None, :])[0]
         self.target_values = _History(1, prealloc) if save_target_values else None
         self.current_target_eval = float(self.target(self.current_point))
         if not _np.isfinite(self.current_target_eval):

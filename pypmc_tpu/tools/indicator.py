@@ -70,9 +70,17 @@ def merge_function_with_indicator(function, indicator, alternative):
     if indicator is None:
         return function
 
-    from ..sampler._target import batched_target, is_batched
+    from ..sampler._target import batched_target, is_batched, is_transposed
 
-    if is_batched(function):
+    if is_batched(function) and is_transposed(function):
+        import jax
+
+        @batched_target(transposed=True)
+        def merged_function(xT):
+            ok = jax.vmap(indicator)(jnp.asarray(xT).T)
+            return jnp.where(ok, function(xT), alternative)
+
+    elif is_batched(function):
         import jax
 
         @batched_target

@@ -1,5 +1,7 @@
 """Verify the fused Pallas kernels' math in interpreter mode on CPU
-(the compiled path is exercised on real TPU by bench.py and the driver)."""
+(the compiled path is exercised on real TPU by bench.py and the driver).
+
+The kernels use the transposed particle layout ``xT (D, N)``."""
 
 import numpy as np
 import jax
@@ -24,6 +26,7 @@ COVS = (np.eye(D, dtype=np.float32)[None] + np.einsum("kij,klj->kil", _A, _A)).a
 WEIGHTS = np.array([0.3, 0.25, 0.25, 0.2, 0.0], dtype=np.float32)
 DOFS = np.full((K,), 7.0, dtype=np.float32)
 X = RNG.normal(0, 2, size=(N, D)).astype(np.float32)
+XT = jnp.asarray(X.T.copy())
 
 
 def make_params(student_t):
@@ -35,8 +38,8 @@ def make_params(student_t):
 @pytest.mark.parametrize("student_t", [False, True])
 def test_fused_logq_matches_xla(student_t):
     params = make_params(student_t)
-    a, b, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
-    out = pk.fused_logq(jnp.asarray(X), a, b, log_norm, weights, dof, dim=D)
+    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_logq(XT, a2, b2, log_norm, weights, dof, dim=D)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(X)), params.weights, axis=-1)
     assert out.shape == (N,)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
@@ -45,25 +48,27 @@ def test_fused_logq_matches_xla(student_t):
 @pytest.mark.parametrize("student_t", [False, True])
 def test_fused_rho_matches_formula(student_t):
     params = make_params(student_t)
-    a, b, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
-    rho, logq = pk.fused_rho(jnp.asarray(X), a, b, log_norm, weights, dof, dim=D)
+    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
+    rho, logq = pk.fused_rho(XT, a2, b2, log_norm, weights, dof, dim=D)
     ind = np.asarray(core.component_logpdfs(params, jnp.asarray(X)))
     lse = np.asarray(logsumexp(ind, params.weights, axis=-1))
     tiny = float(jnp.finfo(jnp.float32).tiny)
     expected = np.exp(ind) * np.asarray(params.weights)[None, :] / (np.exp(lse)[:, None] + tiny)
     expected = np.where(np.asarray(params.weights)[None, :] > 0, expected, 0.0)
-    assert np.allclose(np.asarray(rho), expected, rtol=1e-3, atol=1e-5)
+    assert rho.shape == (K, N)
+    assert np.allclose(np.asarray(rho), expected.T, rtol=1e-3, atol=1e-5)
     assert np.allclose(np.asarray(logq), lse, rtol=1e-4, atol=1e-4)
     # dead component has exactly zero responsibility
-    assert np.all(np.asarray(rho)[:, 4] == 0.0)
+    assert np.all(np.asarray(rho)[4, :] == 0.0)
 
 
 def test_fused_maha_matches_xla():
     params = make_params(False)
-    a, b, _, _, _ = core._pallas_operands(params, "inv_chol")
-    out = pk.fused_maha(jnp.asarray(X), a, b, dim=D)
+    a2, b2, _, _, _ = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_maha(XT, a2, b2, dim=D)
     ref = core.mahalanobis(jnp.asarray(X), params.means, params.inv_chol)
-    assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    assert out.shape == (K, N)
+    assert np.allclose(np.asarray(out), np.asarray(ref).T, rtol=1e-4, atol=1e-4)
 
 
 def test_fused_transform_matches_gather():
@@ -71,20 +76,21 @@ def test_fused_transform_matches_gather():
     z = RNG.normal(size=(N, D)).astype(np.float32)
     latent = RNG.integers(0, 4, size=N).astype(np.int32)
     scale = np.abs(RNG.normal(1, 0.1, size=N)).astype(np.float32)
-    ct = jnp.transpose(params.chol, (2, 0, 1)).reshape(D, K * D)
-    out = pk.fused_transform(jnp.asarray(z), jnp.asarray(latent), jnp.asarray(scale),
-                             ct, params.means, dim=D)
+    ct2 = params.chol.reshape(K * D, D)
+    out = pk.fused_transform(jnp.asarray(z.T.copy()), jnp.asarray(latent),
+                             jnp.asarray(scale), ct2, params.means.T, dim=D)
     chol = np.asarray(params.chol)
     expected = MEANS[latent] + np.einsum("nij,nj->ni", chol[latent], z) * scale[:, None]
-    assert np.allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+    assert out.shape == (D, N)
+    assert np.allclose(np.asarray(out), expected.T, rtol=1e-4, atol=1e-5)
 
 
 def test_padding_non_multiple_tile():
     """N that is not a multiple of the tile size is padded internally."""
     params = make_params(False)
-    a, b, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
+    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
     n = 777
-    out = pk.fused_logq(jnp.asarray(X[:n]), a, b, log_norm, weights, dof, dim=D)
+    out = pk.fused_logq(XT[:, :n], a2, b2, log_norm, weights, dof, dim=D)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(X[:n])), params.weights, axis=-1)
     assert out.shape == (n,)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

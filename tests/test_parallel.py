@@ -106,23 +106,24 @@ class TestShardedSampling:
         mesh = particle_mesh()
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
         params = mix.stacked_params()
-        samples, weights, latent = run_is_step_sharded(
+        samples_T, weights, latent = run_is_step_sharded(
             params, log_target, jax.random.PRNGKey(0), 8 * 100, mesh
         )
-        assert samples.shape == (800, 2)
+        assert samples_T.shape == (2, 800)  # transposed device layout
         assert weights.shape == (800,)
         # weights consistent with a recomputation on the host
+        samples = np.asarray(samples_T).T
         log_q = np.asarray(core.mixture_logpdf(params, samples))
-        log_p = np.asarray(jax.vmap(log_target)(samples))
+        log_p = np.asarray(jax.vmap(log_target)(jnp.asarray(samples)))
         assert np.allclose(np.asarray(weights), np.exp(log_p - log_q), rtol=1e-10)
 
     def test_devices_produce_distinct_samples(self):
         mesh = particle_mesh()
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
-        samples, _, _ = run_is_step_sharded(
+        samples_T, _, _ = run_is_step_sharded(
             mix.stacked_params(), log_target, jax.random.PRNGKey(0), 8 * 10, mesh
         )
-        shards = np.split(np.asarray(samples), 8)
+        shards = np.split(np.asarray(samples_T).T, 8)
         for i in range(7):
             assert not np.allclose(shards[i], shards[i + 1])
 
