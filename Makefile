@@ -1,0 +1,34 @@
+# Developer targets (the reference's Makefile equivalents: build / check /
+# check-parallel / run-examples / bench)
+
+PYTHON ?= python
+CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          MPLBACKEND=Agg PYTHONPATH=.
+
+.PHONY: check check-fast run-examples bench entry clean
+
+# full unit + sharding test suite (8 virtual CPU devices, float64)
+check:
+	$(PYTHON) -m pytest tests/ -q
+
+check-fast:
+	$(PYTHON) -m pytest tests/ -q -x -m "not slow"
+
+# run every example on the simulated 8-device CPU mesh
+run-examples:
+	for ex in pmc variational markov_chain mixture_reduction r_group pmc_sharded \
+	          uniting_markov_chains_and_variational_bayes; do \
+	    echo "=== $$ex ==="; \
+	    env $(CPU_ENV) $(PYTHON) examples/$$ex.py || exit 1; \
+	done
+
+# throughput benchmark on the available accelerator (one JSON line)
+bench:
+	$(PYTHON) bench.py
+
+# driver entry points: single-chip compile check + multichip dryrun (CPU mesh)
+entry:
+	env $(CPU_ENV) $(PYTHON) __graft_entry__.py
+
+clean:
+	rm -rf __pycache__ */__pycache__ */*/__pycache__ .pytest_cache *.png

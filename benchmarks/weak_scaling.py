@@ -1,0 +1,90 @@
+"""Weak-scaling harness for the sharded Student-t PMC step
+(BASELINE.md north-star: >=90% weak-scaling efficiency on the 10^7-particle
+Student-t PMC across hosts).
+
+Measures one full PMC step (propose -> weights -> psum'ed update) at a fixed
+per-device particle count while growing the mesh 1, 2, 4, ... devices, and
+reports throughput and efficiency vs the 1-device run.
+
+On a multi-host slice, run one process per host after
+``pypmc_tpu.parallel.distributed_initialize()``.  On a single CPU host,
+simulate a mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        PYTHONPATH=. python benchmarks/weak_scaling.py --per-device 65536
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=1 << 20,
+                    help="particles per device per step")
+    ap.add_argument("--dim", type=int, default=10)
+    ap.add_argument("--components", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=5, help="timed steps per size")
+    args = ap.parse_args()
+
+    import jax
+    import pypmc_tpu as pt
+    from pypmc_tpu.density import core
+    from pypmc_tpu.parallel import particle_mesh, pmc_run_sharded
+
+    K, D = args.components, args.dim
+    rng = np.random.default_rng(0)
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    means = rng.normal(0, 3, size=(K, D)).astype(dtype)
+    a = rng.normal(0, 0.2, size=(K, D, D)).astype(dtype)
+    covs = (np.eye(D, dtype=dtype)[None] * 1.5 + np.einsum("kij,klj->kil", a, a)).astype(dtype)
+    dofs = np.full((K,), 8.0, dtype=dtype)
+    params0, _ = core.make_mixture(means, covs, None, dofs)
+
+    t_means = np.stack([rng.normal(0, 1, D), rng.normal(0, 1, D) + 3.0]).astype(dtype)
+    t_covs = np.array([np.eye(D) * 0.8] * 2).astype(dtype)
+    t_params, _ = core.make_mixture(t_means, t_covs, np.array([0.3, 0.7], dtype=dtype))
+
+    from pypmc_tpu.sampler import batched_target
+
+    @batched_target(transposed=True)
+    def log_target(xT):
+        return core.mixture_logpdf_T(t_params, xT)
+
+    all_devices = jax.devices()
+    sizes = []
+    n = 1
+    while n <= len(all_devices):
+        sizes.append(n)
+        n *= 2
+
+    results = []
+    base_sps = None
+    for n_dev in sizes:
+        mesh = particle_mesh(all_devices[:n_dev])
+        n_total = args.per_device * n_dev
+        # warmup (compile)
+        pmc_run_sharded(log_target, params0, n_total, 1, mesh=mesh,
+                        key=jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        pmc_run_sharded(log_target, params0, n_total, args.steps, mesh=mesh,
+                        key=jax.random.PRNGKey(1))
+        dt = (time.perf_counter() - t0) / args.steps
+        sps = n_total / dt
+        if base_sps is None:
+            base_sps = sps
+        eff = sps / (base_sps * n_dev)
+        results.append(dict(devices=n_dev, particles=n_total,
+                            step_ms=round(dt * 1e3, 2),
+                            samples_per_s=round(sps),
+                            weak_scaling_efficiency=round(eff, 3)))
+        print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"weak_scaling": results}))
+
+
+if __name__ == "__main__":
+    main()
