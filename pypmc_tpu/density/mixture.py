@@ -300,14 +300,25 @@ class MixtureDensity(ProbabilityDensity):
             return samples
 
         # numpy-rng host path (reference semantics)
+        if rng is not RNG_DEFAULT and key is not None:
+            # jax key but generic components: use a seeded numpy generator
+            import jax
+
+            rng = _np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
         to_get = rng.multinomial(N, self.weights)
         output_samples = _np.empty((N, self.dim))
         current_write_start = 0
         for i, comp in enumerate(self.components):
             if to_get[i] != 0:
+                try:
+                    block = comp.propose(to_get[i], rng)
+                except TypeError:
+                    # duck-typed components whose propose takes no rng
+                    # (the reference also calls propose(n), mixture.pyx:199)
+                    block = comp.propose(to_get[i])
                 output_samples[
                     current_write_start : current_write_start + to_get[i]
-                ] = comp.propose(to_get[i], rng)
+                ] = block
             current_write_start += to_get[i]
 
         if trace:

@@ -137,14 +137,17 @@ def Dirichlet_log_C(alpha):
 
 def _bilinear_with_W(x, m, W):
     """``(N, K)`` bilinear forms ``(x_n - m_k)^T W_k (x_n - m_k)`` computed
-    via the Cholesky factors of the SPD ``W_k`` so the dominant cost is one
-    MXU matmul (same trick as :func:`pypmc_tpu.density.core.mahalanobis`)."""
-    chol_W = jnp.linalg.cholesky(W)          # W = C C^T
-    a = jnp.swapaxes(chol_W, -1, -2)         # bilinear = ||C^T diff||^2
-    proj = jnp.einsum("nd,kid->nki", x, a, precision="highest")
-    b = jnp.einsum("kd,kid->ki", m, a, precision="highest")
-    diff = proj - b[None, :, :]
-    return jnp.sum(diff * diff, axis=-1)
+    via the Cholesky factors of the SPD ``W_k`` (``bilinear = ||C^T diff||^2``
+    with ``W = C C^T``); mapped sequentially over K so only an ``(N, D)``
+    intermediate exists per component (no ``(N, K, D)`` HBM blowup)."""
+    chol_W = jnp.linalg.cholesky(W)  # (K, D, D)
+
+    def per_k(args):
+        cw, mk = args
+        proj = jnp.einsum("nd,di->ni", x - mk[None, :], cw, precision="highest")
+        return jnp.sum(proj * proj, axis=-1)
+
+    return jax.lax.map(per_k, (chol_W, m)).T
 
 
 def _weighted_S(data, wr, x_mean, inv_N_comp):
