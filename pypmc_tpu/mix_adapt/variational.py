@@ -138,9 +138,23 @@ def Dirichlet_log_C(alpha):
 def _bilinear_with_W(x, m, W):
     """``(N, K)`` bilinear forms ``(x_n - m_k)^T W_k (x_n - m_k)`` computed
     via the Cholesky factors of the SPD ``W_k`` (``bilinear = ||C^T diff||^2``
-    with ``W = C C^T``); mapped sequentially over K so only an ``(N, D)``
-    intermediate exists per component (no ``(N, K, D)`` HBM blowup)."""
+    with ``W = C C^T``).  On TPU/float32 this is one fused Pallas pass over
+    the particles; otherwise it maps sequentially over K so only an
+    ``(N, D)`` intermediate exists per component (no ``(N, K, D)`` HBM
+    blowup)."""
+    from ..density import core as _dcore
+
     chol_W = jnp.linalg.cholesky(W)  # (K, D, D)
+    K, D, _ = W.shape
+
+    if _dcore.use_pallas(x) and x.shape[0] >= 1024:
+        from ..ops.pallas_kernels import fused_maha
+
+        # fused_maha computes ||A_k x - A_k m_k||^2 with A_k stacked in
+        # a2 (K*D, D); here A_k = C_k^T
+        a2 = jnp.transpose(chol_W, (0, 2, 1)).reshape(K * D, D)
+        b2 = jnp.einsum("kd,kdi->ki", m, chol_W, precision="highest").reshape(K * D, 1)
+        return fused_maha(x.T, a2, b2, dim=D).T
 
     def per_k(args):
         cw, mk = args
