@@ -154,3 +154,42 @@ class TestVmappedChains:
         assert np.allclose(np.cov(pooled, rowvar=0), SIGMA, atol=0.3)
         # final acceptance in a sane band after adaptation
         assert np.all(np.asarray(rates)[:, -1] > 0.05)
+
+
+class TestAdaptFallback:
+    def test_degenerate_run_falls_back_to_shrink(self):
+        """All-identical samples give a zero covariance estimate; the full
+        and diagonal updates both fail and the proposal covariance is
+        divided by covar_scale_multiplier (reference fallback chain,
+        markov_chain.py:378-391)."""
+        prop = LocalGauss(np.eye(2))
+        mc = AdaptiveMarkovChain(log_target, prop, MU.copy(), rng=0)
+        sigma_before = mc.proposal.sigma.copy()
+        # forge a degenerate last run: every visited point identical
+        run = mc.samples.append(100)
+        run[:] = MU
+        mc._last_accept_count = 0
+        # make the damped estimate exactly singular
+        mc.unscaled_sigma = np.zeros((2, 2))
+        mc.damping = 0.0  # a_t = 1 -> new estimate = sample cov = 0
+        mc.adapt()
+        assert np.allclose(
+            mc.proposal.sigma, sigma_before / mc.covar_scale_multiplier
+        )
+
+    def test_scale_factor_bounds(self):
+        prop = LocalGauss(np.eye(2))
+        mc = AdaptiveMarkovChain(
+            log_target, prop, MU.copy(), rng=0,
+            covar_scale_factor=1.0, covar_scale_factor_max=2.0,
+            covar_scale_factor_min=0.5, covar_scale_multiplier=10.0,
+        )
+        mc._update_scale_factor(accept_rate=1.0)   # would overshoot max
+        assert mc.covar_scale_factor == 10.0       # one multiply allowed
+        mc._update_scale_factor(accept_rate=1.0)   # now above max: frozen
+        assert mc.covar_scale_factor == 10.0
+        mc.covar_scale_factor = 1.0
+        mc._update_scale_factor(accept_rate=0.0)
+        assert mc.covar_scale_factor == 0.1
+        mc._update_scale_factor(accept_rate=0.0)   # below min: frozen
+        assert mc.covar_scale_factor == 0.1
