@@ -321,3 +321,27 @@ class TestPMCDriver:
         assert np.allclose(recovered[1][1].mu, target_means[1], atol=0.15)
         assert np.allclose(recovered[0][1].sigma, target_covs[0], atol=0.3)
         assert np.allclose(recovered[1][1].sigma, target_covs[1], atol=0.3)
+
+
+class TestDofSolverEdgeCases:
+    def test_root_below_mindof_clamps(self):
+        """Force the first-order condition's root below mindof: the dof is
+        clamped to mindof (reference ValueError branch, pmc.pyx:700-710)."""
+        mix = create_t_mixture(MEANS0, COVS0, DOFS0, ALPHA0)
+        out = student_t_pmc(SAMPLES, mix, weights=WEIGHTS, mindof=900.0, maxdof=1000.0)
+        # the true roots for this data are ~O(1..100) < 900 -> clamp to mindof
+        ea, em, ec, ed = student_t_pmc_numpy(
+            SAMPLES, MEANS0, COVS0, DOFS0, ALPHA0, WEIGHTS, mindof=900.0, maxdof=1000.0
+        )
+        for k in range(2):
+            assert np.isclose(out.components[k].dof, ed[k], atol=1e-6)
+
+    def test_interval_brackets_match_scipy(self):
+        """Different bracket: results still match the scipy-brentq model."""
+        mix = create_t_mixture(MEANS0, COVS0, DOFS0, ALPHA0)
+        out = student_t_pmc(SAMPLES, mix, weights=WEIGHTS, mindof=0.5, maxdof=50.0)
+        ea, em, ec, ed = student_t_pmc_numpy(
+            SAMPLES, MEANS0, COVS0, DOFS0, ALPHA0, WEIGHTS, mindof=0.5, maxdof=50.0
+        )
+        for k in range(2):
+            assert np.isclose(out.components[k].dof, ed[k], atol=1e-6)
