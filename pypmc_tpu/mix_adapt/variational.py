@@ -363,26 +363,35 @@ class GaussianInference(object):
 
     def __init__(self, data, components=0, weights=None, initial_guess="first",
                  **kwargs):
-        data = _np.asarray(data, dtype=float)
-        self.N = data.shape[0]
-        if data.ndim == 1:
-            data = data.reshape(self.N, 1)
-        self.data = jnp.asarray(data)
+        if isinstance(data, jax.Array):
+            # keep device placement/sharding: with the particle axis sharded
+            # over a mesh, the jitted E-step's sums over n are auto-reduced
+            # across devices by GSPMD (the VB analog of the PMC psum path)
+            if data.ndim == 1:
+                data = data[:, None]
+            self.data = data
+        else:
+            data = _np.asarray(data, dtype=float)
+            if data.ndim == 1:
+                data = data.reshape(len(data), 1)
+            self.data = jnp.asarray(data)
+        self.N = int(self.data.shape[0])
         self.dim = int(self.data.shape[1])
         if weights is not None:
-            weights = _np.asarray(weights, dtype=float)
+            if not isinstance(weights, jax.Array):
+                weights = _np.asarray(weights, dtype=float)
+                assert _np.isfinite(weights).all(), (
+                    "Some weights are not finite; i.e., inf or nan\n" + str(weights)
+                )
             assert weights.shape == (self.N,), (
                 "The number of samples (%s) does not match the number of weights (%s)"
                 % (self.N, weights.shape[0])
             )
-            assert _np.isfinite(weights).all(), (
-                "Some weights are not finite; i.e., inf or nan\n" + str(weights)
-            )
-            sum_w = weights.sum()
+            sum_w = float(jnp.sum(jnp.asarray(weights)))
             assert sum_w > 0, "Sum of weights <= 0 (%g)" % sum_w
             # normalize weights to N (not one); weighted update formulae
             # reduce to the unweighted ones when weights are all 1
-            self.weights = jnp.asarray(self.N * (weights / sum_w))
+            self.weights = jnp.asarray(weights) * (self.N / sum_w)
         else:
             self.weights = jnp.ones((self.N,), dtype=self.data.dtype)
 

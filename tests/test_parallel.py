@@ -190,3 +190,34 @@ class TestParallelSampler:
         w = ps.weights[:][:, 0]
         mean = (w[:, None] * samples).sum(axis=0) / w.sum()
         assert np.allclose(mean, TARGET_MU, atol=0.05)
+
+
+class TestShardedVB:
+    def test_vb_sharded_data_matches_unsharded(self):
+        """With the data's particle axis sharded over the mesh, the jitted
+        VB E/M steps auto-reduce the sufficient statistics across devices
+        (GSPMD); the bound and posterior must match the unsharded run."""
+        from jax.sharding import NamedSharding
+        from pypmc_tpu.mix_adapt import GaussianInference
+        from pypmc_tpu.parallel.mesh import particle_mesh, particle_sharding
+
+        rng = np.random.default_rng(0)
+        data = np.vstack([rng.normal(0, 1, (40, 2)), rng.normal(5, 1, (40, 2))])
+        w = np.abs(rng.normal(1, 0.2, size=80))
+
+        vb_plain = GaussianInference(data, components=4, weights=w)
+        vb_plain.run(iterations=10, prune=0.0)
+
+        mesh = particle_mesh()
+        sharding = particle_sharding(mesh)
+        data_s = jax.device_put(jnp.asarray(data), sharding)
+        w_s = jax.device_put(jnp.asarray(w), sharding)
+        vb_sharded = GaussianInference(data_s, components=4, weights=w_s)
+        vb_sharded.run(iterations=10, prune=0.0)
+
+        assert np.isclose(
+            vb_plain.likelihood_bound(), vb_sharded.likelihood_bound(), rtol=1e-12
+        )
+        assert np.allclose(np.asarray(vb_plain.m), np.asarray(vb_sharded.m), atol=1e-12)
+        assert np.allclose(np.asarray(vb_plain.N_comp), np.asarray(vb_sharded.N_comp),
+                           atol=1e-10)
