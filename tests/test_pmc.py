@@ -345,3 +345,54 @@ class TestDofSolverEdgeCases:
         )
         for k in range(2):
             assert np.isclose(out.components[k].dof, ed[k], atol=1e-6)
+
+
+class TestStudentTPMCDriver:
+    def test_t_run_improves(self):
+        # NOTE: the Student-t dof update is not guaranteed to increase the
+        # [Cap+08] bound monotonically, so (like the reference) we assert
+        # improvement rather than formal convergence at tight tolerance
+        mix = create_t_mixture(MEANS0, COVS0, DOFS0, ALPHA0)
+        pmc = PMC(SAMPLES, mix, weights=WEIGHTS)
+        initial = pmc.log_likelihood()
+        pmc.run(iterations=50, rel_tol=1e-6)
+        assert pmc.log_likelihood() >= initial
+        # dofs moved and stayed inside the default bracket
+        dofs = np.array([c.dof for c in pmc.density.components])
+        assert np.all(dofs >= 1e-5) and np.all(dofs <= 1e3)
+
+    def test_t_end_to_end_is_pmc(self):
+        """IS + Student-t PMC adapts a 3-component t-proposal to a bimodal
+        Gaussian target (the reference's t-kernel use case)."""
+        target_means = [np.array([-4.0, 0.0]), np.array([4.0, 0.0])]
+        target_covs = [np.eye(2) * 0.5, np.eye(2) * 0.7]
+        target_weights = np.array([0.4, 0.6])
+        target_mix = create_gaussian_mixture(target_means, target_covs, target_weights)
+        target_params = target_mix.stacked_params()
+
+        def log_target(x):
+            return core.mixture_logpdf(target_params, x[None, :])[0]
+
+        prop = create_t_mixture(
+            [np.array([-3.0, 1.0]), np.array([3.0, -1.0]), np.array([0.0, 0.0])],
+            [np.eye(2) * 3] * 3, [5.0] * 3,
+        )
+        key = jax.random.PRNGKey(7)
+        from pypmc_tpu.mix_adapt import student_t_pmc as t_pmc
+
+        for step in range(10):
+            key, sub = jax.random.split(key)
+            params = prop.stacked_params()
+            samples, latent = core.propose(params, sub, 2000)
+            log_q = core.mixture_logpdf(params, samples)
+            log_p = jax.vmap(log_target)(samples)
+            w = np.asarray(jnp.exp(log_p - log_q))
+            prop = t_pmc(np.asarray(samples), prop, weights=w, copy=False)
+
+        live = np.flatnonzero(prop.weights > 0.05)
+        assert len(live) == 2
+        recovered = sorted((prop.weights[k], prop.components[k]) for k in live)
+        assert np.isclose(recovered[0][0], 0.4, atol=0.07)
+        assert np.isclose(recovered[1][0], 0.6, atol=0.07)
+        assert np.allclose(recovered[0][1].mu, target_means[0], atol=0.2)
+        assert np.allclose(recovered[1][1].mu, target_means[1], atol=0.2)
