@@ -2,7 +2,7 @@
 mixture reduction, Gelman-Rubin chain grouping."""
 
 from .hierarchical import Hierarchical, kullback_leibler
-from .pmc import PMC, gaussian_pmc, student_t_pmc
+from .pmc import PMC, gaussian_pmc, pmc_log_likelihood, pmc_update, student_t_pmc
 from .r_value import make_r_gaussmix, make_r_tmix, r_group, r_value
 from .variational import (
     Dirichlet_log_C,
