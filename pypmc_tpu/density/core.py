@@ -249,8 +249,12 @@ def propose_T(params: MixtureParams, key, n: int):
     """
     k_cat, k_norm, k_chi = jax.random.split(key, 3)
     dtype = params.means.dtype
-    log_w = jnp.log(params.weights)  # dead components: -inf, never drawn
-    latent = jax.random.categorical(k_cat, log_w, shape=(n,))
+    # inverse-CDF categorical draw: ONE uniform per particle and K-1 lane
+    # compares, instead of Gumbel-argmax's N*K transcendentals; dead
+    # components (weight 0) have an empty interval and are never drawn
+    u = jax.random.uniform(k_cat, (n,), dtype=dtype)
+    cumw = jnp.cumsum(params.weights)
+    latent = jnp.sum(u[None, :] >= cumw[:-1, None], axis=0).astype(jnp.int32)
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
     if params.is_student_t:
@@ -263,13 +267,30 @@ def propose_T(params: MixtureParams, key, n: int):
     if use_pallas(zT) and n >= 1024:
         # fused transform: the per-particle (D, D) parameter select happens
         # in VMEM instead of an (N, D, D) gather in HBM
-        from ..ops.pallas_kernels import fused_transform
-
         ct2 = params.chol.reshape(params.K * params.dim, params.dim)
-        samples_T = fused_transform(
-            zT, latent.astype(jnp.int32), scale, ct2, params.means.T,
-            dim=params.dim,
-        )
+        if not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG"):
+            # generate the normals INSIDE the kernel from the TPU hardware
+            # PRNG (Box-Muller): no (D, N) normal array is ever produced by
+            # the host RNG path or round-tripped through HBM.  Deterministic
+            # given the key (the kernel seed derives from it), but the
+            # stream differs from the XLA/CPU path -- sampling tests are
+            # statistical anyway (JAX PRNG != numpy MT19937 already).
+            from ..ops.pallas_kernels import fused_transform_rng
+
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(k_norm, (), "uint32"), jnp.int32
+            )
+            samples_T = fused_transform_rng(
+                seed, latent.astype(jnp.int32), scale, ct2, params.means.T,
+                dim=params.dim,
+            )
+        else:
+            from ..ops.pallas_kernels import fused_transform
+
+            samples_T = fused_transform(
+                zT, latent.astype(jnp.int32), scale, ct2, params.means.T,
+                dim=params.dim,
+            )
     else:
         scaled = jnp.einsum("nij,jn->ni", params.chol[latent], zT,
                             precision="highest")

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform", "pick_tile"]
+__all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
+           "fused_transform_rng", "pick_tile"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
@@ -160,6 +161,41 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
+def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
+                          out_ref, *, dim, n_comp):
+    """Like :func:`_transform_kernel`, but the standard normals are generated
+    IN-KERNEL from the TPU hardware PRNG via Box-Muller -- no (D, N) normal
+    array is ever generated on the host RNG path or round-tripped through
+    HBM.  Each grid step reseeds with (seed, program_id) so tiles draw
+    independent streams; results are deterministic for a fixed seed and tile
+    size."""
+    tn = out_ref.shape[1]
+    kd = ct_ref.shape[0]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # two uniform draws per normal (Box-Muller, cosine half)
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits((dim, tn)), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits((dim, tn)), jnp.uint32)
+    # u1 in (0, 1]: (bits >> 8) + 1 in [1, 2^24] scaled by 2^-24.
+    # Mosaic has no uint32->f32 cast; the 24-bit values are sign-safe as
+    # int32, so bitcast first.
+    i1 = pltpu.bitcast((bits1 >> 8) + 1, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24))
+    u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+    y = _dot(ct_ref[:], z)
+    lat = lat_ref[:]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
+    onehot = (lat == ks).astype(jnp.float32)
+    seg = _block_selector(n_comp, kd, dim, jnp.float32)
+    pos = _pos_selector(dim, kd, jnp.float32)
+    onehot_exp = _dot(seg.T, onehot)
+    y_sel = _dot(pos, y * onehot_exp)
+    mu_sel = _dot(mu_ref[:], onehot)
+    out_ref[:] = mu_sel + y_sel * scale_ref[:]
+
+
 def _small_specs(shapes):
     """Block specs for small replicated (non-tiled) operands."""
     return [
@@ -256,6 +292,40 @@ def fused_maha(xT, a2, b2, *, dim):
         out_shape=jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
     )(xT, a2, b2)
+    return out[:, :n_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def fused_transform_rng(seed, latent, scale, ct2, mu2, *, dim):
+    """Mixture affine transform with IN-KERNEL normal generation:
+    ``out[:, n] = mu[latent[n]] + (chol[latent[n]] @ z_n) * scale[n]`` where
+    ``z_n`` are Box-Muller normals from the TPU hardware PRNG.
+
+    :param seed: int32 scalar seed (derive from a jax key).
+    :param latent, scale, ct2, mu2: as :func:`fused_transform`.
+    """
+    kd = ct2.shape[0]
+    K = kd // dim
+    tile = pick_tile(K, dim)
+    n = latent.shape[0]
+    lat2, n_orig = _pad_lanes(latent[None, :].astype(jnp.int32), tile)
+    scale2, _ = _pad_lanes(scale[None, :], tile)
+    grid = lat2.shape[1] // tile
+    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_transform_rng_kernel, dim=dim, n_comp=K),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _lane_spec(1, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim), (dim, K)]),
+        ],
+        out_specs=_lane_spec(dim, tile),
+        out_shape=jax.ShapeDtypeStruct((dim, lat2.shape[1]), scale.dtype),
+        interpret=INTERPRET,
+    )(seed, lat2, scale2, ct2, mu2)
     return out[:, :n_orig]
 
 
