@@ -81,7 +81,8 @@ class PMCStepStats(NamedTuple):
 
 def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                     rb=True, dof_solver_steps=100, mindof=1e-5, maxdof=1e3,
-                    axis_name=PARTICLE_AXIS, return_final_samples=False):
+                    axis_name=PARTICLE_AXIS, return_final_samples=False,
+                    scan_steps=False):
     """Run ``n_steps`` of (M-)PMC with ``n_total`` fresh particles per step,
     fully sharded over the device mesh.
 
@@ -97,6 +98,10 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         ``params.dof`` is not None.
     :param n_total: total particles per step (divisible by mesh size).
     :param n_steps: number of PMC adaptation steps.
+
+    :param scan_steps: if True, run ALL steps inside one compiled
+        ``lax.scan`` (amortizes per-step dispatch latency; no per-step host
+        visibility).  ``return_final_samples`` is not available in this mode.
 
     Returns ``(params, stats)`` with ``stats`` a :class:`PMCStepStats` of
     ``(n_steps,)`` arrays; with ``return_final_samples`` additionally the
@@ -114,13 +119,8 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     n_local = n_total // n_dev
     is_t = params.is_student_t
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
-    )
-    def step(params, key):
+    def step_body(params, key):
+        """One PMC step on the local shard (called under shard_map)."""
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         samples_T, weights, latent = _is_body(params, my_key, n_local, target)
         result = pmc_update(
@@ -149,7 +149,30 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         )
         return result.params, stats, samples_T, weights
 
-    step = jax.jit(step)
+    if scan_steps:
+        assert not return_final_samples, (
+            "return_final_samples is not available with scan_steps=True"
+        )
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+                 out_specs=(P(), P()))
+        def run_all(params, keys):
+            def body(carry, k):
+                new_params, stats, _, _ = step_body(carry, k)
+                return new_params, stats
+
+            return jax.lax.scan(body, params, keys)
+
+        keys = jax.random.split(key, n_steps)
+        params, stats = jax.jit(run_all)(params, keys)
+        return params, stats
+
+    step = jax.jit(
+        partial(
+            jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+            out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
+        )(step_body)
+    )
 
     all_stats = []
     samples = weights = None

@@ -221,3 +221,22 @@ class TestShardedVB:
         assert np.allclose(np.asarray(vb_plain.m), np.asarray(vb_sharded.m), atol=1e-12)
         assert np.allclose(np.asarray(vb_plain.N_comp), np.asarray(vb_sharded.N_comp),
                            atol=1e-10)
+
+
+class TestScanSteps:
+    def test_scan_steps_adapts_like_loop(self):
+        params, _ = core.make_mixture(
+            np.array([[-2.0, 0.0], [2.0, 2.0]]), np.array([np.eye(2) * 4.0] * 2)
+        )
+        p_scan, stats = pmc_run_sharded(
+            log_target, params, n_total=8 * 400, n_steps=6,
+            key=jax.random.PRNGKey(3), scan_steps=True,
+        )
+        assert stats.perplexity.shape == (6,)
+        perp = np.asarray(stats.perplexity)
+        assert np.all(np.isfinite(perp))
+        assert perp[-1] > perp[0]
+        w = np.asarray(p_scan.weights)
+        mu = np.asarray(p_scan.means)
+        est = (w[:, None] * mu).sum(axis=0)
+        assert np.allclose(est, TARGET_MU, atol=0.3)
