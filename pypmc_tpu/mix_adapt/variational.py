@@ -15,9 +15,7 @@ the "samples" are the L input components with virtual sample counts
 ``N * omega_l``.
 """
 
-from copy import deepcopy as _cp
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

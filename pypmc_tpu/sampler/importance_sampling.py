@@ -22,7 +22,7 @@ from ..density.mixture import MixtureDensity
 from ..ops.lse import logsumexp
 from ..tools import History as _History
 from ..tools.indicator import merge_function_with_indicator as _indmerge
-from ._target import batched_target, evaluate_target, evaluate_target_T, is_batched
+from ._target import evaluate_target_T
 from .._rng import RNG_DEFAULT, as_jax_key
 
 __all__ = [
@@ -115,7 +115,6 @@ class ImportanceSampler(object):
             self._numpy_rng = rng
         self._key = key
         self._step = None  # compiled device step, built lazily
-        self._device_ok = None
 
     def clear(self):
         """Clear the history of samples, weights (and target values)."""

@@ -147,7 +147,6 @@ class MarkovChain(object):
         if self._kernel is None:
             is_t = isinstance(self.proposal, LocalStudentT)
             self._kernel = _make_mc_kernel(self.target, len(self.current_point), is_t)
-            self._kernel_is_t = is_t
 
         dof = getattr(self.proposal, "dof", 0.0)
         points, evals, accept_count, has_nan, current, current_eval = self._kernel(
