@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+# allow running directly via `python benchmarks/<script>.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 
 def main():
     ap = argparse.ArgumentParser()
