@@ -258,9 +258,13 @@ def propose_T(params: MixtureParams, key, n: int):
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
     if params.is_student_t:
+        # exact chi-square via the compacted-rejection sampler
+        # (ops.random.chi2_log): two fixed Marsaglia-Tsang rounds over the
+        # full array instead of a whole-array rejection while_loop
+        from ..ops.random import student_t_scale
+
         dof_n = params.dof[latent]
-        chi2 = jax.random.chisquare(k_chi, dof_n, shape=(n,), dtype=dtype)
-        scale = jnp.sqrt(dof_n / chi2)
+        scale = student_t_scale(k_chi, dof_n, (n,))
     else:
         scale = jnp.ones((n,), dtype=dtype)
 
