@@ -9,11 +9,22 @@ _HANDLER_NAME = "pypmc_tpu_stdout_handler"
 
 def log_to_stdout(verbose=False):
     """Install (idempotently) a stdout handler on the package logger;
-    ``verbose`` switches the level from WARNING to INFO."""
+    ``verbose`` switches the level from WARNING to INFO.
+
+    In a multi-host (``jax.distributed``) run only process 0 logs below
+    ERROR -- the host-0 orchestration role that replaces the reference's
+    MPI rank-0 master (SURVEY.md section 5)."""
     import sys
 
     logger = logging.getLogger("pypmc_tpu")
     level = logging.INFO if verbose else logging.WARNING
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            level = logging.ERROR
+    except Exception:
+        pass
     logger.setLevel(level)
     for handler in logger.handlers:
         if handler.get_name() == _HANDLER_NAME:
