@@ -49,3 +49,8 @@ def distributed_initialize(coordinator_address=None, num_processes=None,
         process_id=process_id,
         **kwargs,
     )
+    # re-evaluate the logging setup now that the process topology is known
+    # (only process 0 logs below ERROR)
+    from ..tools.util import log_to_stdout
+
+    log_to_stdout()

@@ -20,8 +20,15 @@ def log_to_stdout(verbose=False):
     level = logging.INFO if verbose else logging.WARNING
     try:
         import jax
+        from jax._src import xla_bridge
 
-        if jax.process_count() > 1 and jax.process_index() != 0:
+        # only consult the process topology if backends are already up --
+        # asking earlier would force backend initialization at import time
+        if (
+            xla_bridge.backends_are_initialized()
+            and jax.process_count() > 1
+            and jax.process_index() != 0
+        ):
             level = logging.ERROR
     except Exception:
         pass
