@@ -1,0 +1,131 @@
+"""On-TPU validation harness: checks that cannot run under the CPU test
+suite (the Pallas kernels compile only for TPU; pallas interpret mode lacks
+the TPU PRNG primitives).
+
+Run on a TPU host:  python benchmarks/tpu_validation.py
+
+Covers:
+1. fused kernels vs the XLA reference path (log-q, responsibilities,
+   Mahalanobis) at float32 tolerances;
+2. Pallas kernels INSIDE shard_map with psum'ed PMC statistics (single-chip
+   mesh exercises the composition);
+3. hardware-PRNG propose: per-component moments (Gauss + Student-t),
+   determinism per key, distinct draws across keys;
+4. chi-square sampler moments on TPU.
+
+Prints one OK/FAIL line per check and exits nonzero on failure.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    from pypmc_tpu.density import core
+    from pypmc_tpu.mix_adapt.pmc import calculate_rho_rb, pmc_update
+    from pypmc_tpu.ops.lse import logsumexp
+    from pypmc_tpu.ops.random import chisquare
+    from pypmc_tpu.parallel import particle_mesh
+
+    assert jax.default_backend() == "tpu", "run this on a TPU host"
+
+    failures = []
+
+    def check(name, ok):
+        print(("OK   " if ok else "FAIL ") + name, flush=True)
+        if not ok:
+            failures.append(name)
+
+    K, D, N = 10, 10, 1 << 20
+    rng = np.random.default_rng(0)
+    means = rng.normal(0, 3, size=(K, D)).astype(np.float32)
+    a = rng.normal(0, 0.2, size=(K, D, D)).astype(np.float32)
+    covs = (np.eye(D, dtype=np.float32)[None] * 1.5
+            + np.einsum("kij,klj->kil", a, a)).astype(np.float32)
+    dofs = np.full((K,), 8.0, np.float32)
+    w = np.full((K,), 1 / K, np.float32)
+    w[3] = 0
+    w = w / w.sum()
+    params, _ = core.make_mixture(means, covs, w, dofs)
+    x = jnp.asarray(rng.normal(0, 3, size=(100000, D)).astype(np.float32))
+
+    # ---- 1. fused kernels vs XLA reference ---- #
+    ind = core.component_logpdfs(params, x)
+    ref_logq = np.asarray(logsumexp(ind, params.weights, axis=-1))
+    pal_logq = np.asarray(core.mixture_logpdf(params, x))
+    check("fused log-q matches XLA",
+          np.allclose(ref_logq, pal_logq, rtol=1e-4, atol=1e-4))
+
+    tiny = float(jnp.finfo(jnp.float32).tiny)
+    rr = np.exp(np.asarray(ind)) * w[None, :] / (np.exp(ref_logq)[:, None] + tiny)
+    rr = np.where(w[None, :] > 0, rr, 0)
+    pal_rho = np.asarray(calculate_rho_rb(params, x))
+    check("fused responsibilities match formula",
+          np.allclose(rr, pal_rho, rtol=1e-3, atol=1e-5))
+
+    ref_m = np.asarray(core.mahalanobis(x, params.means, params.inv_chol))
+    pal_m = np.asarray(core.mahalanobis_all(params, x))
+    check("fused Mahalanobis matches XLA",
+          np.allclose(ref_m, pal_m, rtol=1e-3, atol=1e-3))
+
+    # ---- 2. Pallas inside shard_map + psum (1-chip mesh) ---- #
+    mesh = particle_mesh(jax.devices()[:1])
+    samples = jnp.asarray(rng.normal(size=(4096, D)).astype(np.float32))
+    weights = jnp.asarray(np.abs(rng.normal(1, 0.2, size=4096)).astype(np.float32))
+
+    serial = pmc_update(params, samples, weights)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("particles"), P("particles")), out_specs=P())
+    def sharded(p, s, wts):
+        return pmc_update(p, s, wts, axis_name="particles").params
+
+    out = jax.jit(sharded)(params, samples, weights)
+    check("pallas-inside-shard_map PMC update matches serial",
+          np.allclose(np.asarray(serial.params.means), np.asarray(out.means),
+                      rtol=1e-5, atol=1e-5))
+
+    # ---- 3. hardware-PRNG propose moments ---- #
+    for name, dd in [("gauss", None), ("student_t", dofs)]:
+        p2, _ = core.make_mixture(means, covs, w, dd)
+        sT, lat = core.propose_T(p2, jax.random.PRNGKey(0), N)
+        s = np.asarray(sT).T
+        lat = np.asarray(lat)
+        ok = bool(np.isfinite(s).all())
+        for k in range(K):
+            if w[k] == 0:
+                ok &= bool((lat != k).all())
+                continue
+            sel = s[lat == k]
+            factor = 1.0 if dd is None else dofs[k] / (dofs[k] - 2)
+            ok &= np.allclose(sel.mean(axis=0), means[k], atol=0.05)
+            ok &= np.allclose(np.cov(sel, rowvar=0), factor * covs[k],
+                              rtol=0.2, atol=0.3)
+        sT2, _ = core.propose_T(p2, jax.random.PRNGKey(0), N)
+        ok &= bool(np.array_equal(np.asarray(sT2), np.asarray(sT)))
+        sT3, _ = core.propose_T(p2, jax.random.PRNGKey(1), N)
+        ok &= not np.array_equal(np.asarray(sT3), np.asarray(sT))
+        check("hardware-PRNG propose (%s): moments/determinism" % name, ok)
+
+    # ---- 4. chi-square sampler moments on TPU ---- #
+    draws = np.asarray(chisquare(jax.random.PRNGKey(2), 8.0, (N,)))
+    check("chi2 sampler moments",
+          np.isfinite(draws).all()
+          and np.isclose(draws.mean(), 8.0, rtol=0.02)
+          and np.isclose(draws.var(), 16.0, rtol=0.05))
+
+    print("%d checks failed" % len(failures))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

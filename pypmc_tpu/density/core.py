@@ -258,13 +258,12 @@ def propose_T(params: MixtureParams, key, n: int):
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
     if params.is_student_t:
-        # exact chi-square via the compacted-rejection sampler
-        # (ops.random.chi2_log): two fixed Marsaglia-Tsang rounds over the
-        # full array instead of a whole-array rejection while_loop
-        from ..ops.random import student_t_scale
-
+        # NOTE: measured end-to-end on TPU v5e, jax.random.chisquare beats
+        # the compacted-rejection alternative in ops.random (whose
+        # gather/scatter tail is expensive on TPU); both are exact
         dof_n = params.dof[latent]
-        scale = student_t_scale(k_chi, dof_n, (n,))
+        chi2 = jax.random.chisquare(k_chi, dof_n, shape=(n,), dtype=dtype)
+        scale = jnp.sqrt(dof_n / chi2)
     else:
         scale = jnp.ones((n,), dtype=dtype)
 

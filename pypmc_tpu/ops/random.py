@@ -19,6 +19,14 @@ unconditionally and IN LOG SPACE, so tiny degrees of freedom (``mindof ~
 1e-5`` in the PMC dof solver) neither under- nor overflow; callers that need
 ``sqrt(dof/chi2)`` (the Student-t proposal scale) stay in log space
 throughout.
+
+.. note::
+    Measured end-to-end on TPU v5e at N=2^24, ``jax.random.chisquare`` is
+    FASTER than this sampler (the compaction's gather/scatter of the reject
+    tail is expensive on TPU), so the proposal path uses the stock sampler;
+    this module remains useful on backends where whole-array rejection
+    loops dominate, for tiny-dof log-space stability, and as the reference
+    implementation for the distributional tests.
 """
 
 from functools import partial
