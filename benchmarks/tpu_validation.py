@@ -85,7 +85,8 @@ def main():
     serial = pmc_update(params, samples, weights)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("particles"), P("particles")), out_specs=P())
+             in_specs=(P(), P("particles"), P("particles")), out_specs=P(),
+             check_vma=False)
     def sharded(p, s, wts):
         return pmc_update(p, s, wts, axis_name="particles").params
 

@@ -59,11 +59,16 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     )
     n_local = n_total // n_dev
 
+    # check_vma=False: the Pallas kernels' out_shape carries no
+    # varying-manual-axes annotation, which the shard_map replication
+    # checker (correctly) refuses; replication correctness is covered by
+    # the sharded-equals-serial tests
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
     )
     def step(params, key):
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -155,7 +160,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         )
 
         @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
-                 out_specs=(P(), P()))
+                 out_specs=(P(), P()), check_vma=False)
         def run_all(params, keys):
             def body(carry, k):
                 new_params, stats, _, _ = step_body(carry, k)
@@ -171,6 +176,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         partial(
             jax.shard_map, mesh=mesh, in_specs=(P(), P()),
             out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
+            check_vma=False,
         )(step_body)
     )
 
