@@ -94,3 +94,19 @@ def test_padding_non_multiple_tile():
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(X[:n])), params.weights, axis=-1)
     assert out.shape == (n,)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kk,dd", [(7, 33), (2, 1), (40, 2)])
+def test_odd_shapes_logq(kk, dd):
+    """Ragged K/D (odd sublane and lane sizes) must pad correctly."""
+    rng = np.random.default_rng(1)
+    means = rng.normal(0, 2, size=(kk, dd)).astype(np.float32)
+    a = rng.normal(0, 0.2, size=(kk, dd, dd)).astype(np.float32)
+    covs = (np.eye(dd, dtype=np.float32)[None] + np.einsum("kij,klj->kil", a, a)).astype(np.float32)
+    params, valid = core.make_mixture(means, covs)
+    assert bool(np.asarray(valid).all())
+    x = rng.normal(0, 2, size=(700, dd)).astype(np.float32)
+    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_logq(jnp.asarray(x.T.copy()), a2, b2, log_norm, weights, dof, dim=dd)
+    ref = logsumexp(core.component_logpdfs(params, jnp.asarray(x)), params.weights, axis=-1)
+    assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
