@@ -22,7 +22,7 @@ import numpy as np
 K = 10        # proposal mixture components
 KT = 2        # target mixture components
 D = 10        # dimension
-N = 1 << 24   # particles per step (TPU)
+N = 1 << 25   # particles per step (TPU)
 N_CPU = 1 << 16  # particles per step for the numpy baseline (extrapolated)
 REPS = 10
 
