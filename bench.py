@@ -119,9 +119,10 @@ def tpu_sps():
 
     @jax.jit
     def step(params, t_params, key):
-        samples, latent = core.propose(params, key, N)
-        log_q = core.mixture_logpdf(params, samples)
-        log_p = core.mixture_logpdf(t_params, samples)  # batched fused target
+        # transposed (D, N) particle layout end to end (the native TPU path)
+        samples_T, latent = core.propose_T(params, key, N)
+        log_q = core.mixture_logpdf_T(params, samples_T)
+        log_p = core.mixture_logpdf_T(t_params, samples_T)  # fused target
         w = jnp.exp(log_p - log_q)
         # on-device diagnostics; only scalars leave the chip
         return jnp.sum(w), jnp.sum(w * w)
