@@ -257,7 +257,12 @@ def propose_T(params: MixtureParams, key, n: int):
     latent = jnp.sum(u[None, :] >= cumw[:-1, None], axis=0).astype(jnp.int32)
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
-    if params.is_student_t:
+    fused_rng = (
+        use_pallas(zT) and n >= 1024
+        and not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
+    )
+
+    if params.is_student_t and not fused_rng:
         # NOTE: measured end-to-end on TPU v5e, jax.random.chisquare beats
         # the compacted-rejection alternative in ops.random (whose
         # gather/scatter tail is expensive on TPU); both are exact
@@ -271,21 +276,24 @@ def propose_T(params: MixtureParams, key, n: int):
         # fused transform: the per-particle (D, D) parameter select happens
         # in VMEM instead of an (N, D, D) gather in HBM
         ct2 = params.chol.reshape(params.K * params.dim, params.dim)
-        if not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG"):
-            # generate the normals INSIDE the kernel from the TPU hardware
-            # PRNG (Box-Muller): no (D, N) normal array is ever produced by
-            # the host RNG path or round-tripped through HBM.  Deterministic
-            # given the key (the kernel seed derives from it), but the
-            # stream differs from the XLA/CPU path -- sampling tests are
-            # statistical anyway (JAX PRNG != numpy MT19937 already).
+        if fused_rng:
+            # ALL remaining randomness is generated INSIDE the kernel from
+            # the TPU hardware PRNG: Box-Muller normals and, for Student-t,
+            # the per-particle chi-square scale (the chi-square alone is
+            # ~60% of the step cost through the host threefry path).
+            # Deterministic given the key (the kernel seed derives from
+            # it), but the stream differs from the XLA/CPU path -- sampling
+            # tests are statistical anyway (JAX PRNG != numpy MT19937
+            # already).
             from ..ops.pallas_kernels import fused_transform_rng
 
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(k_norm, (), "uint32"), jnp.int32
             )
+            dof2 = None if params.dof is None else params.dof.reshape(1, params.K)
             samples_T = fused_transform_rng(
                 seed, latent.astype(jnp.int32), scale, ct2, params.means.T,
-                dim=params.dim,
+                dof2, dim=params.dim,
             )
         else:
             from ..ops.pallas_kernels import fused_transform

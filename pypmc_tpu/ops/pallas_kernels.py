@@ -161,28 +161,72 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
+def _kernel_uniform(shape, offset=0):
+    """Uniform draws from the per-core hardware PRNG; in (0, 1] when
+    ``offset=1`` (safe for log), in [0, 1) when ``offset=0``.  Mosaic has no
+    uint32->f32 cast; the 24-bit values are sign-safe as int32."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i = pltpu.bitcast((bits >> 8) + offset, jnp.int32)
+    return i.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _kernel_normal(shape):
+    """Standard normals via Box-Muller (cosine half) from the hardware
+    PRNG."""
+    u1 = _kernel_uniform(shape, offset=1)
+    u2 = _kernel_uniform(shape, offset=0)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+# Fixed Marsaglia-Tsang rounds for the in-kernel chi-square draw.  The
+# per-round accept rate is >= 95%, so the probability that an element is
+# still unresolved afterwards is <= 0.05^12 ~ 2.4e-16 -- about one particle
+# per 1e8 steps of 3e7 particles keeps its last proposal instead (a bias far
+# below float32 resolution of any estimate).
+_MT_ROUNDS = 12
+
+
+def _kernel_log_chi2(dof):
+    """(1, TN) log of chi-square draws with per-lane degrees of freedom,
+    drawn with the hardware PRNG via Marsaglia-Tsang with the log-space
+    shape boost (exact; see ops.random.chi2_log for the algorithm)."""
+    a = 0.5 * dof
+    d = a + 1.0 - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    done = jnp.zeros(dof.shape, dtype=jnp.bool_)
+    log_g = jnp.zeros(dof.shape, dtype=jnp.float32)
+    for _ in range(_MT_ROUNDS):
+        z = _kernel_normal(dof.shape)
+        u = _kernel_uniform(dof.shape, offset=1)
+        one_plus_cz = 1.0 + c * z
+        ok_v = one_plus_cz > 0
+        safe = jnp.where(ok_v, one_plus_cz, 1.0)
+        v = safe * safe * safe
+        log_v = 3.0 * jnp.log(safe)
+        accept = ok_v & (jnp.log(u) < 0.5 * z * z + d - d * v + d * log_v)
+        newly = accept & ~done
+        log_g = jnp.where(newly, jnp.log(d) + log_v, log_g)
+        done = done | accept
+
+    u_boost = _kernel_uniform(dof.shape, offset=1)
+    return jnp.log(2.0) + log_g + jnp.log(u_boost) / a
+
+
 def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
-                          out_ref, *, dim, n_comp):
-    """Like :func:`_transform_kernel`, but the standard normals are generated
-    IN-KERNEL from the TPU hardware PRNG via Box-Muller -- no (D, N) normal
-    array is ever generated on the host RNG path or round-tripped through
-    HBM.  Each grid step reseeds with (seed, program_id) so tiles draw
-    independent streams; results are deterministic for a fixed seed and tile
-    size."""
+                          dof_ref, out_ref, *, dim, n_comp, student_t):
+    """Like :func:`_transform_kernel`, but ALL randomness beyond the
+    component choice is generated IN-KERNEL from the TPU hardware PRNG: the
+    standard normals (Box-Muller) and, for Student-t, the per-particle
+    chi-square scale (Marsaglia-Tsang with log-space boost) -- no (D, N)
+    normal array and no chi-square rejection pass ever touch the host RNG
+    path or HBM.  Each grid step reseeds with (seed, program_id) so tiles
+    draw independent streams; results are deterministic for a fixed seed
+    and tile size."""
     tn = out_ref.shape[1]
     kd = ct_ref.shape[0]
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    # two uniform draws per normal (Box-Muller, cosine half)
-    bits1 = pltpu.bitcast(pltpu.prng_random_bits((dim, tn)), jnp.uint32)
-    bits2 = pltpu.bitcast(pltpu.prng_random_bits((dim, tn)), jnp.uint32)
-    # u1 in (0, 1]: (bits >> 8) + 1 in [1, 2^24] scaled by 2^-24.
-    # Mosaic has no uint32->f32 cast; the 24-bit values are sign-safe as
-    # int32, so bitcast first.
-    i1 = pltpu.bitcast((bits1 >> 8) + 1, jnp.int32)
-    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
-    u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24))
-    u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    z = _kernel_normal((dim, tn))
 
     y = _dot(ct_ref[:], z)
     lat = lat_ref[:]
@@ -193,7 +237,15 @@ def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
     onehot_exp = _dot(seg.T, onehot)
     y_sel = _dot(pos, y * onehot_exp)
     mu_sel = _dot(mu_ref[:], onehot)
-    out_ref[:] = mu_sel + y_sel * scale_ref[:]
+    if student_t:
+        # per-lane dof via one-hot contraction, then the in-kernel chi2;
+        # scale = sqrt(dof / chi2) on the log scale
+        dof_sel = _dot(dof_ref[:], onehot)  # (1, K) @ (K, TN) -> (1, TN)
+        log_chi2 = _kernel_log_chi2(dof_sel)
+        scale = jnp.exp(0.5 * (jnp.log(dof_sel) - log_chi2))
+    else:
+        scale = scale_ref[:]
+    out_ref[:] = mu_sel + y_sel * scale
 
 
 def _small_specs(shapes):
@@ -296,13 +348,17 @@ def fused_maha(xT, a2, b2, *, dim):
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_transform_rng(seed, latent, scale, ct2, mu2, *, dim):
-    """Mixture affine transform with IN-KERNEL normal generation:
-    ``out[:, n] = mu[latent[n]] + (chol[latent[n]] @ z_n) * scale[n]`` where
-    ``z_n`` are Box-Muller normals from the TPU hardware PRNG.
+def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
+    """Mixture affine transform with IN-KERNEL randomness:
+    ``out[:, n] = mu[latent[n]] + (chol[latent[n]] @ z_n) * scale_n`` where
+    ``z_n`` are Box-Muller normals from the TPU hardware PRNG and, when
+    ``dof (1, K)`` is given (Student-t), ``scale_n = sqrt(dof_n / chi2_n)``
+    with the chi-square ALSO drawn in-kernel (Marsaglia-Tsang; the ``scale``
+    argument is then ignored).
 
     :param seed: int32 scalar seed (derive from a jax key).
     :param latent, scale, ct2, mu2: as :func:`fused_transform`.
+    :param dof: ``(1, K)`` degrees of freedom, or None for Gaussian.
     """
     kd = ct2.shape[0]
     K = kd // dim
@@ -312,20 +368,24 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, *, dim):
     scale2, _ = _pad_lanes(scale[None, :], tile)
     grid = lat2.shape[1] // tile
     seed = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    student_t = dof is not None
+    if dof is None:
+        dof = jnp.ones((1, K), dtype=scale.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_transform_rng_kernel, dim=dim, n_comp=K),
+        functools.partial(_transform_rng_kernel, dim=dim, n_comp=K,
+                          student_t=student_t),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             _lane_spec(1, tile),
             _lane_spec(1, tile),
-            *_small_specs([(kd, dim), (dim, K)]),
+            *_small_specs([(kd, dim), (dim, K), (1, K)]),
         ],
         out_specs=_lane_spec(dim, tile),
         out_shape=jax.ShapeDtypeStruct((dim, lat2.shape[1]), scale.dtype),
         interpret=INTERPRET,
-    )(seed, lat2, scale2, ct2, mu2)
+    )(seed, lat2, scale2, ct2, mu2, dof)
     return out[:, :n_orig]
 
 
