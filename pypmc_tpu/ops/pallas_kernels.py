@@ -181,8 +181,8 @@ def _kernel_normal(shape):
 # Fixed Marsaglia-Tsang rounds for the in-kernel chi-square draw.  The
 # per-round accept rate is >= 95%, so the probability that an element is
 # still unresolved afterwards is <= 0.05^12 ~ 2.4e-16 -- about one particle
-# per 1e8 steps of 3e7 particles keeps its last proposal instead (a bias far
-# below float32 resolution of any estimate).
+# per 1e8 steps of 3e7 particles falls back to the central value g = d
+# instead (a bias far below float32 resolution of any estimate).
 _MT_ROUNDS = 12
 
 
@@ -195,7 +195,7 @@ def _kernel_log_chi2(dof):
     c = 1.0 / jnp.sqrt(9.0 * d)
 
     done = jnp.zeros(dof.shape, dtype=jnp.bool_)
-    log_g = jnp.zeros(dof.shape, dtype=jnp.float32)
+    log_g = jnp.log(d)  # central fallback; overwritten on first accept
     for _ in range(_MT_ROUNDS):
         z = _kernel_normal(dof.shape)
         u = _kernel_uniform(dof.shape, offset=1)
