@@ -119,10 +119,12 @@ def tpu_sps():
 
     @jax.jit
     def step(params, t_params, key):
-        # transposed (D, N) particle layout end to end (the native TPU path)
-        samples_T, latent = core.propose_T(params, key, N)
-        log_q = core.mixture_logpdf_T(params, samples_T)
-        log_p = core.mixture_logpdf_T(t_params, samples_T)  # fused target
+        # transposed (D, N) particle layout end to end (the native TPU
+        # path); propose + proposal-log-q + mixture-target-log-p run as ONE
+        # fused Pallas kernel -- samples are written to HBM once, never
+        # re-read
+        samples_T, latent, log_q, log_p = core.propose_logq_T(
+            params, key, N, t_params)
         w = jnp.exp(log_p - log_q)
         # on-device diagnostics; only scalars leave the chip
         return jnp.sum(w), jnp.sum(w * w)

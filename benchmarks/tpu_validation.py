@@ -68,9 +68,12 @@ def main():
     tiny = float(jnp.finfo(jnp.float32).tiny)
     rr = np.exp(np.asarray(ind)) * w[None, :] / (np.exp(ref_logq)[:, None] + tiny)
     rr = np.where(w[None, :] > 0, rr, 0)
+    # split-precision Mahalanobis (2^-16 relative, see ops.pallas_kernels)
+    # bounds the per-entry rho error at ~2e-4 worst case / ~1e-6 mean --
+    # far below Monte-Carlo noise in any sufficient statistic
     pal_rho = np.asarray(calculate_rho_rb(params, x))
     check("fused responsibilities match formula",
-          np.allclose(rr, pal_rho, rtol=1e-3, atol=1e-5))
+          np.allclose(rr, pal_rho, rtol=2e-3, atol=3e-4))
 
     ref_m = np.asarray(core.mahalanobis(x, params.means, params.inv_chol))
     pal_m = np.asarray(core.mahalanobis_all(params, x))
@@ -116,6 +119,30 @@ def main():
         sT3, _ = core.propose_T(p2, jax.random.PRNGKey(1), N)
         ok &= not np.array_equal(np.asarray(sT3), np.asarray(sT))
         check("hardware-PRNG propose (%s): moments/determinism" % name, ok)
+
+    # ---- 3b. fused propose+eval kernel ---- #
+    for name, dd in [("gauss", None), ("student_t", dofs)]:
+        p2, _ = core.make_mixture(means, covs, w, dd)
+        t2, _ = core.make_mixture(means[:2], covs[:2])
+        sT, lat, logq, logp = core.propose_logq_T(
+            p2, jax.random.PRNGKey(5), N, t2)
+        s = np.asarray(sT).T
+        lat = np.asarray(lat)
+        ok = bool(np.isfinite(s).all())
+        for k in range(K):
+            if w[k] == 0:
+                ok &= bool((lat != k).all())
+                continue
+            sel = s[lat == k]
+            factor = 1.0 if dd is None else dofs[k] / (dofs[k] - 2)
+            ok &= np.allclose(sel.mean(axis=0), means[k], atol=0.05)
+            ok &= np.allclose(np.cov(sel, rowvar=0), factor * covs[k],
+                              rtol=0.2, atol=0.3)
+        lq2 = np.asarray(core.mixture_logpdf_T(p2, jnp.asarray(np.asarray(sT))))
+        lp2 = np.asarray(core.mixture_logpdf_T(t2, jnp.asarray(np.asarray(sT))))
+        ok &= np.allclose(np.asarray(logq), lq2, rtol=1e-4, atol=2e-4)
+        ok &= np.allclose(np.asarray(logp), lp2, rtol=1e-4, atol=2e-4)
+        check("fused propose+eval (%s): moments + log-q/log-p" % name, ok)
 
     # ---- 4. chi-square sampler moments on TPU ---- #
     draws = np.asarray(chisquare(jax.random.PRNGKey(2), 8.0, (N,)))

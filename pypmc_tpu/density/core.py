@@ -74,6 +74,7 @@ __all__ = [
     "mixture_logpdf_T",
     "propose",
     "propose_T",
+    "propose_logq_T",
     "update_masked",
     "use_pallas",
 ]
@@ -315,6 +316,49 @@ def propose(params: MixtureParams, key, n: int):
     ``(samples (n, D), latent (n,))``."""
     samples_T, latent = propose_T(params, key, n)
     return samples_T.T, latent
+
+
+@partial(jax.jit, static_argnames=("n",))
+def propose_logq_T(params: MixtureParams, key, n: int, target_params=None):
+    """Fused propose-and-evaluate: draw ``n`` mixture samples and evaluate
+    the proposal log-density (and optionally a second, target mixture's
+    log-density) on them in ONE Pallas kernel -- the samples are written to
+    HBM once and never re-read by the evaluation passes.
+
+    Returns ``(samples_T (D, n), latent (n,), log_q (n,))``, plus
+    ``log_p (n,)`` when ``target_params`` is given.  Off the TPU fast path
+    this composes :func:`propose_T` and :func:`mixture_logpdf_T` (same
+    distribution and values, separate passes).
+    """
+    fused = (
+        use_pallas(params.means) and n >= 1024
+        and not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
+    )
+    if not fused:
+        samples_T, latent = propose_T(params, key, n)
+        log_q = mixture_logpdf_T(params, samples_T)
+        if target_params is None:
+            return samples_T, latent, log_q
+        return samples_T, latent, log_q, mixture_logpdf_T(target_params, samples_T)
+
+    from ..ops.pallas_kernels import fused_propose_logq
+
+    # ALL randomness (component choice included) is drawn in-kernel from
+    # the hardware PRNG; the jax key only provides the seed
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (), "uint32"), jnp.int32
+    )
+    cumw = jnp.cumsum(params.weights).reshape(params.K, 1)
+    ct2 = params.chol.reshape(params.K * params.dim, params.dim)
+    a2, b2, log_norm, weights, dof_col = _pallas_operands(params, "inv_chol")
+    dof_row = None if params.dof is None else params.dof.reshape(1, params.K)
+    target = None
+    if target_params is not None:
+        target = _pallas_operands(target_params, "inv_chol")
+    return fused_propose_logq(
+        seed, cumw, ct2, params.means.T, dof_row,
+        a2, b2, log_norm, weights, dof_col, target, n=n, dim=params.dim,
+    )
 
 
 def update_masked(params: MixtureParams, new_means, new_covs, new_weights,

@@ -20,12 +20,22 @@ per-tile matmuls stream ``(K*D, D) @ (D, TN)`` through the MXU.
   ``sample = mu[latent] + (chol[latent] @ z) * scale`` with the per-particle
   component select done in VMEM via one-hot contractions instead of an
   (N, D, D) parameter gather in HBM.
+* :func:`fused_transform_rng` -- the same with ALL randomness generated
+  in-kernel from the TPU hardware PRNG (paired Box-Muller normals; for
+  Student-t the per-particle chi-square scale via Marsaglia-Tsang, run in
+  an 8-sublane-row relayout for full VPU utilization).
+* :func:`fused_propose_logq` -- the whole importance-sampling hot path in
+  one kernel: propose, evaluate the proposal log-q, and optionally evaluate
+  a mixture target's log-p, all on the VMEM-resident sample tile.
 
 Mosaic does not support lane/sublane-splitting reshapes inside kernels, so
 all per-component-block reductions are expressed as tiny 0/1 selector
-matmuls.  All matmuls use HIGHEST precision (float32-accurate; the TPU
-default bf16 passes cost ~3 decimal digits in the distances).  N is padded
-to the lane-tile size internally; K and D are static per compilation.
+matmuls.  Matmul precision is managed with manual bfloat16 splits (see the
+"Split-precision matmuls" section): selector contractions are bit-exact at
+3 one-pass matmuls, value matmuls run at ~2^-16 relative error -- half the
+MXU cost of Precision.HIGHEST, which measured at ~44% of the whole fused
+IS step.  N is padded to the lane-tile size internally; K and D are static
+per compilation.
 """
 
 import functools
@@ -36,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
-           "fused_transform_rng", "pick_tile"]
+           "fused_transform_rng", "fused_propose_logq", "pick_tile"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
@@ -49,11 +59,14 @@ def _pad8(n):
 
 def pick_tile(K: int, D: int, vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
     """Particle-tile (lane) size: the per-lane VMEM cost is a handful of
-    (pad8(K*D), TN), (pad8(K), TN) and (pad8(D), TN) buffers."""
+    (pad8(K*D), TN), (pad8(K), TN) and (pad8(D), TN) buffers.
+
+    Multiples of 1024 so a tile can be relayouted to 8 sublane rows of
+    128-aligned lanes (see :func:`_rows8`)."""
     bytes_per_lane = 4 * (3 * _pad8(K * D) + 3 * _pad8(K) + 3 * _pad8(D))
     tn = vmem_budget_bytes // max(1, bytes_per_lane)
-    tn = max(512, min(16384, int(tn)))
-    return (tn // 512) * 512
+    tn = max(1024, min(16384, int(tn)))
+    return (tn // 1024) * 1024
 
 
 def _pad_lanes(x, tile):
@@ -68,9 +81,75 @@ def _pad_lanes(x, tile):
 
 def _dot(x, y):
     """float32-accurate MXU matmul (the default TPU matmul precision uses
-    bfloat16 passes; these matmuls are tiny relative to bandwidth)."""
+    bfloat16 passes, which costs ~3 decimal digits in the distances; Mosaic
+    supports only DEFAULT and HIGHEST)."""
     return jnp.dot(x, y, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot01(x, y):
+    """MXU matmul where one operand is exactly 0/1 and the other holds
+    small integers (or 0/1): a single bf16 pass is already exact, at a
+    fraction of the HIGHEST (multi-pass float32) cost."""
+    return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+# ------------------------------------------------------------------ #
+# Split-precision matmuls.  Mosaic exposes only DEFAULT (one bfloat16
+# pass, ~2^-8 relative error -- unusable for distances/samples) and
+# HIGHEST (full float32, 6 passes on bf16-MXU TPUs -- measured at ~44% of
+# the whole IS step).  A float32 splits EXACTLY into three bfloat16
+# terms (3 x 8 mantissa bits), so matmuls where one operand is already
+# bf16-exact (every 0/1 selector here) are BIT-EXACT with 3 DEFAULT
+# passes, and general value matmuls reach ~2^-16 relative error with 3
+# passes -- half the MXU cost of HIGHEST either way.
+# ------------------------------------------------------------------ #
+
+def _bf16_split2(v):
+    """v ~= v0 + v1 with v0, v1 exactly bfloat16-representable (the
+    ~2^-16-relative residual is dropped)."""
+    v0 = v.astype(jnp.bfloat16).astype(jnp.float32)
+    v1 = (v - v0).astype(jnp.bfloat16).astype(jnp.float32)
+    return v0, v1
+
+
+def _bf16_split3(v):
+    """v == v0 + v1 + v2 EXACTLY, each term bfloat16-representable (the
+    standard error-free 3-way split: each subtraction is exact in f32 and
+    the final residual carries the last <=8 mantissa bits)."""
+    v0 = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = v - v0
+    v1 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return v0, v1, r - v1
+
+
+def _dot_sel(s, v):
+    """EXACT ``s @ v`` for a 0/1 selector ``s`` and float32 ``v``:
+    3 one-pass matmuls over the exact 3-way split of ``v``."""
+    v0, v1, v2 = _bf16_split3(v)
+    return _dot01(s, v0) + _dot01(s, v1) + _dot01(s, v2)
+
+
+def _dot_selr(v, s):
+    """EXACT ``v @ s`` for float32 ``v`` and a 0/1 selector ``s``."""
+    v0, v1, v2 = _bf16_split3(v)
+    return _dot01(v0, s) + _dot01(v1, s) + _dot01(v2, s)
+
+
+def _dot_acc(s, v):
+    """``s @ v`` for a 0/1 selector ``s`` at ~2^-16 relative error:
+    2 one-pass matmuls (enough for the squared-distance reductions)."""
+    v0, v1 = _bf16_split2(v)
+    return _dot01(s, v0) + _dot01(s, v1)
+
+
+def _dot_val(x, y):
+    """General float32 matmul at ~2^-16 relative error with 3 one-pass
+    matmuls: x0@y0 + x0@y1 + x1@y0 (the dropped x1@y1 term is O(2^-16))."""
+    x0, x1 = _bf16_split2(x)
+    y0, y1 = _bf16_split2(y)
+    return _dot01(x0, y0) + _dot01(x0, y1) + _dot01(x1, y0)
 
 
 def _block_selector(K, kd, dim, dtype):
@@ -89,19 +168,29 @@ def _pos_selector(dim, kd, dtype):
     return (rows == cols).astype(dtype)
 
 
-def _component_logpdfs_tile(x, a2, b2, log_norm, dof, dim):
+def _aug_eval_operand(a2, b2):
+    """XLA-side prep: fold the projected means into the projection matrix,
+    ``a_aug (K*D, D+1) = [a2 | b2]`` -- the kernel then gets the centered
+    projection from ONE matmul against ``[x; -1]``."""
+    return jnp.concatenate([a2, b2], axis=1)
+
+
+def _component_logpdfs_tile(x, a_aug, log_norm, dof, dim):
     """(K, TN) component log-densities from a (D, TN) tile.
 
-    ``a2 (K*D, D)`` stacks the inverse-Cholesky factors, ``b2 (K*D, 1)``
-    the projected means; the Mahalanobis distances come from one streaming
-    MXU matmul plus a selector contraction.
+    ``a_aug (K*D, D+1)`` stacks the inverse-Cholesky factors with the
+    projected means appended as the last column (:func:`_aug_eval_operand`);
+    the Mahalanobis distances come from one streaming MXU matmul against
+    ``[x; -1]`` plus a selector contraction.
     """
-    kd = a2.shape[0]
+    kd = a_aug.shape[0]
     K = kd // dim
-    proj = _dot(a2, x)            # (K*D, TN)
-    diff = proj - b2
+    tn = x.shape[1]
+    x_aug = jnp.concatenate(
+        [x, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
+    diff = _dot_val(a_aug, x_aug)        # (K*D, TN), already centered
     seg = _block_selector(K, kd, dim, x.dtype)
-    maha = _dot(seg, diff * diff)  # (K, TN)
+    maha = _dot_acc(seg, diff * diff)    # (K, TN)
     if dof is not None:
         return log_norm - 0.5 * (dof + dim) * jnp.log1p(maha / dof)
     return log_norm - 0.5 * maha
@@ -114,18 +203,18 @@ def _weighted_lse(ind, w):
     return jnp.log(s) + m  # (1, TN)
 
 
-def _logq_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref, out_ref, *,
+def _logq_kernel(x_ref, a_ref, ln_ref, w_ref, dof_ref, out_ref, *,
                  dim, student_t):
     dof = dof_ref[:] if student_t else None
-    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], b_ref[:], ln_ref[:], dof, dim)
+    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], ln_ref[:], dof, dim)
     out_ref[:] = _weighted_lse(ind, w_ref[:])
 
 
-def _rho_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref,
+def _rho_kernel(x_ref, a_ref, ln_ref, w_ref, dof_ref,
                 rho_ref, logq_ref, *, dim, student_t, tiny):
     dof = dof_ref[:] if student_t else None
     w = w_ref[:]
-    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], b_ref[:], ln_ref[:], dof, dim)
+    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], ln_ref[:], dof, dim)
     lse = _weighted_lse(ind, w)
     # reference formula (pmc.pyx:37-41): exp(ind) * w / (exp(lse) + tiny)
     rho = jnp.exp(ind) * w / (jnp.exp(lse) + tiny)
@@ -133,13 +222,15 @@ def _rho_kernel(x_ref, a_ref, b_ref, ln_ref, w_ref, dof_ref,
     logq_ref[:] = lse
 
 
-def _maha_kernel(x_ref, a_ref, b_ref, out_ref, *, dim):
+def _maha_kernel(x_ref, a_ref, out_ref, *, dim):
     kd = a_ref.shape[0]
     K = kd // dim
-    proj = _dot(a_ref[:], x_ref[:])
-    diff = proj - b_ref[:]
-    seg = _block_selector(K, kd, dim, proj.dtype)
-    out_ref[:] = _dot(seg, diff * diff)
+    tn = x_ref.shape[1]
+    x_aug = jnp.concatenate(
+        [x_ref[:], jnp.full((1, tn), -1.0, dtype=x_ref.dtype)], axis=0)
+    diff = _dot_val(a_ref[:], x_aug)
+    seg = _block_selector(K, kd, dim, diff.dtype)
+    out_ref[:] = _dot_acc(seg, diff * diff)
 
 
 def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
@@ -147,7 +238,7 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     z = z_ref[:]                          # (D, TN)
     tn = z.shape[1]
     kd = ct_ref.shape[0]
-    y = _dot(ct_ref[:], z)                # (K*D, TN); y[k*D+i, n] = (chol_k z_n)[i]
+    y = _dot_val(ct_ref[:], z)            # (K*D, TN); y[k*D+i, n] = (chol_k z_n)[i]
     lat = lat_ref[:]                      # (1, TN) int32
     ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
     onehot = (lat == ks).astype(z.dtype)  # (K, TN)
@@ -155,9 +246,9 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     # contract the block structure away (no in-kernel reshapes)
     seg = _block_selector(n_comp, kd, dim, z.dtype)   # (K, K*D)
     pos = _pos_selector(dim, kd, z.dtype)             # (D, K*D)
-    onehot_exp = _dot(seg.T, onehot)                  # (K*D, TN)
-    y_sel = _dot(pos, y * onehot_exp)                 # (D, TN)
-    mu_sel = _dot(mu_ref[:], onehot)                  # (D, K) @ (K, TN)
+    onehot_exp = _dot01(seg.T, onehot)                # (K*D, TN)
+    y_sel = _dot_sel(pos, y * onehot_exp)             # (D, TN)
+    mu_sel = _dot_selr(mu_ref[:], onehot)             # (D, K) @ (K, TN)
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
@@ -170,12 +261,50 @@ def _kernel_uniform(shape, offset=0):
     return i.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _kernel_normal(shape):
-    """Standard normals via Box-Muller (cosine half) from the hardware
-    PRNG."""
+def _kernel_normal_pair(shape):
+    """TWO independent standard-normal arrays of ``shape`` from one
+    Box-Muller draw (cosine and sine halves) -- half the log/sqrt count of
+    drawing twice with only the cosine half."""
     u1 = _kernel_uniform(shape, offset=1)
     u2 = _kernel_uniform(shape, offset=0)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * jnp.pi) * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _kernel_normal_rows(rows, tn):
+    """(rows, tn) standard normals, generated pairwise."""
+    half = (rows + 1) // 2
+    a, b = _kernel_normal_pair((half, tn))
+    z = jnp.concatenate([a, b], axis=0)
+    return z if z.shape[0] == rows else z[:rows]
+
+
+def _rows8(v):
+    """Relayout ``(1, T)`` -> ``(8, T//8)`` via 128-aligned lane slices
+    (requires ``T % 1024 == 0``).
+
+    A ``(1, T)`` array occupies vregs with 7 of 8 sublanes masked, so
+    elementwise/transcendental work on it runs at 1/8 of VPU throughput;
+    the hot per-particle rejection loops below run in this 8-row layout
+    instead (the lane order is a pure relabeling -- irrelevant for iid
+    draws as long as :func:`_unrows8` restores it)."""
+    t8 = v.shape[1] // 8
+    return jnp.concatenate([v[:, s * t8:(s + 1) * t8] for s in range(8)], axis=0)
+
+
+def _unrows8(v8):
+    """Inverse of :func:`_rows8`: ``(8, T8)`` -> ``(1, 8*T8)``.
+
+    Rows are extracted with (1, 8) selector matmuls rather than sublane
+    slices: Mosaic cannot lane-concatenate vectors whose sublane offsets
+    differ ("result/input offset mismatch on non-concat dimension")."""
+    v0, v1, v2 = _bf16_split3(v8)
+    rows = []
+    for s in range(8):
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == s).astype(v8.dtype)
+        rows.append(_dot01(sel, v0) + _dot01(sel, v1) + _dot01(sel, v2))
+    return jnp.concatenate(rows, axis=1)
 
 
 # Fixed Marsaglia-Tsang rounds for the in-kernel chi-square draw.  The
@@ -187,17 +316,25 @@ _MT_ROUNDS = 12
 
 
 def _kernel_log_chi2(dof):
-    """(1, TN) log of chi-square draws with per-lane degrees of freedom,
-    drawn with the hardware PRNG via Marsaglia-Tsang with the log-space
-    shape boost (exact; see ops.random.chi2_log for the algorithm)."""
+    """Log of chi-square draws with per-element degrees of freedom, drawn
+    with the hardware PRNG via Marsaglia-Tsang with the log-space shape
+    boost (exact; see ops.random.chi2_log for the algorithm).
+
+    Call with the ``(8, T/8)`` :func:`_rows8` layout: this loop is the
+    transcendental-heaviest part of the Student-t proposal, and on a
+    ``(1, T)`` operand it would waste 7/8 of the VPU sublanes."""
     a = 0.5 * dof
     d = a + 1.0 - 1.0 / 3.0
     c = 1.0 / jnp.sqrt(9.0 * d)
 
     done = jnp.zeros(dof.shape, dtype=jnp.bool_)
     log_g = jnp.log(d)  # central fallback; overwritten on first accept
-    for _ in range(_MT_ROUNDS):
-        z = _kernel_normal(dof.shape)
+    z_next = None
+    for r in range(_MT_ROUNDS):
+        if r % 2 == 0:
+            z, z_next = _kernel_normal_pair(dof.shape)
+        else:
+            z = z_next
         u = _kernel_uniform(dof.shape, offset=1)
         one_plus_cz = 1.0 + c * z
         ok_v = one_plus_cz > 0
@@ -213,39 +350,99 @@ def _kernel_log_chi2(dof):
     return jnp.log(2.0) + log_g + jnp.log(u_boost) / a
 
 
-def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
-                          dof_ref, out_ref, *, dim, n_comp, student_t):
-    """Like :func:`_transform_kernel`, but ALL randomness beyond the
-    component choice is generated IN-KERNEL from the TPU hardware PRNG: the
-    standard normals (Box-Muller) and, for Student-t, the per-particle
-    chi-square scale (Marsaglia-Tsang with log-space boost) -- no (D, N)
-    normal array and no chi-square rejection pass ever touch the host RNG
-    path or HBM.  Each grid step reseeds with (seed, program_id) so tiles
-    draw independent streams; results are deterministic for a fixed seed
-    and tile size."""
-    tn = out_ref.shape[1]
-    kd = ct_ref.shape[0]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    z = _kernel_normal((dim, tn))
+def _propose_tile(onehot, scale, ct_ref, mu_ref, dof_ref, *,
+                  dim, n_comp, tn, student_t):
+    """Shared propose body: in-kernel RNG mixture draw of one (D, TN) tile
+    from a precomputed component one-hot ``(K, TN)``.
 
-    y = _dot(ct_ref[:], z)
-    lat = lat_ref[:]
-    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
-    onehot = (lat == ks).astype(jnp.float32)
+    ALL randomness beyond the component choice is generated IN-KERNEL from
+    the TPU hardware PRNG (the caller must have seeded it): the standard
+    normals (paired Box-Muller) and, for Student-t, the per-particle
+    chi-square scale (Marsaglia-Tsang in the 8-row :func:`_rows8` layout)
+    -- no (D, N) normal array and no chi-square rejection pass ever touch
+    the host RNG path or HBM."""
+    kd = ct_ref.shape[0]
+    z = _kernel_normal_rows(dim, tn)
+
+    y = _dot_val(ct_ref[:], z)
     seg = _block_selector(n_comp, kd, dim, jnp.float32)
     pos = _pos_selector(dim, kd, jnp.float32)
-    onehot_exp = _dot(seg.T, onehot)
-    y_sel = _dot(pos, y * onehot_exp)
-    mu_sel = _dot(mu_ref[:], onehot)
+    onehot_exp = _dot01(seg.T, onehot)
+    y_sel = _dot_sel(pos, y * onehot_exp)
+    mu_sel = _dot_selr(mu_ref[:], onehot)
     if student_t:
-        # per-lane dof via one-hot contraction, then the in-kernel chi2;
-        # scale = sqrt(dof / chi2) on the log scale
-        dof_sel = _dot(dof_ref[:], onehot)  # (1, K) @ (K, TN) -> (1, TN)
-        log_chi2 = _kernel_log_chi2(dof_sel)
-        scale = jnp.exp(0.5 * (jnp.log(dof_sel) - log_chi2))
+        # per-lane dof via one-hot contraction, then the in-kernel chi2 in
+        # the full-sublane-utilization layout; scale = sqrt(dof / chi2)
+        dof_sel = _dot_selr(dof_ref[:], onehot)  # (1, K) @ (K, TN)
+        dof8 = _rows8(dof_sel)
+        log_chi2 = _kernel_log_chi2(dof8)
+        scale8 = jnp.exp(0.5 * (jnp.log(dof8) - log_chi2))
+        scale = _unrows8(scale8)
+    if scale is None:
+        return mu_sel + y_sel
+    return mu_sel + y_sel * scale
+
+
+def _onehot_from_latent(lat, n_comp, tn):
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
+    return (lat == ks).astype(jnp.float32)
+
+
+def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
+                          dof_ref, out_ref, *, dim, n_comp, student_t):
+    """In-kernel-RNG mixture proposal transform (see :func:`_propose_tile`).
+    Each grid step reseeds with (seed, program_id) so tiles draw independent
+    streams; results are deterministic for a fixed seed and tile size."""
+    tn = out_ref.shape[1]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    onehot = _onehot_from_latent(lat_ref[:], n_comp, tn)
+    scale = None if student_t else scale_ref[:]
+    out_ref[:] = _propose_tile(
+        onehot, scale, ct_ref, mu_ref, dof_ref,
+        dim=dim, n_comp=n_comp, tn=tn, student_t=student_t)
+
+
+def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
+                         dof_ref, a_ref, ln_ref, w_ref, dofc_ref,
+                         *refs, dim, n_comp, student_t, t_student_t,
+                         has_target):
+    """Fused propose -> proposal log-q [-> mixture-target log-p] kernel.
+
+    The component choice is ALSO drawn in-kernel: one hardware-PRNG uniform
+    per particle against the cumulative weights ``cumw (K, 1)`` (the
+    inverse-CDF draw; replaces an XLA threefry pass over all N particles).
+    The freshly drawn (D, TN) sample tile is then evaluated against the
+    proposal mixture (and optionally a second, target mixture) while still
+    resident in VMEM -- the evaluation passes never re-read the samples
+    from HBM, and the whole importance-sampling step becomes one kernel."""
+    if has_target:
+        ta_ref, tln_ref, tw_ref, tdof_ref = refs[:4]
+        out_ref, lat_ref, logq_ref, logp_ref = refs[4:]
     else:
-        scale = scale_ref[:]
-    out_ref[:] = mu_sel + y_sel * scale
+        out_ref, lat_ref, logq_ref = refs
+    tn = out_ref.shape[1]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # inverse-CDF categorical: latent = sum_{k<K-1} [u >= cumw_k]; dead
+    # components (weight 0) have an empty interval and are never drawn
+    u = _kernel_uniform((1, tn), offset=0)
+    cmp = (u >= cumw_ref[:]).astype(jnp.float32)          # (K, TN)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, 1), 0)
+    mask = (ks < n_comp - 1).astype(jnp.float32).reshape(1, n_comp)
+    lat_f = _dot01(mask, cmp)                             # (1, TN)
+    lat = lat_f.astype(jnp.int32)
+    lat_ref[:] = lat
+    onehot = _onehot_from_latent(lat, n_comp, tn)
+    x = _propose_tile(
+        onehot, None, ct_ref, mu_ref, dof_ref,
+        dim=dim, n_comp=n_comp, tn=tn, student_t=student_t)
+    out_ref[:] = x
+    dofc = dofc_ref[:] if student_t else None
+    ind = _component_logpdfs_tile(x, a_ref[:], ln_ref[:], dofc, dim)
+    logq_ref[:] = _weighted_lse(ind, w_ref[:])
+    if has_target:
+        tdof = tdof_ref[:] if t_student_t else None
+        t_ind = _component_logpdfs_tile(x, ta_ref[:], tln_ref[:], tdof, dim)
+        logp_ref[:] = _weighted_lse(t_ind, tw_ref[:])
 
 
 def _small_specs(shapes):
@@ -285,12 +482,12 @@ def fused_logq(xT, a2, b2, log_norm, weights, dof, *, dim):
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
-            *_small_specs([(kd, dim), (kd, 1), (K, 1), (K, 1), (K, 1)]),
+            *_small_specs([(kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
         ],
         out_specs=_lane_spec(1, tile),
         out_shape=jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(xT, a2, b2, log_norm, weights, dof)
+    )(xT, _aug_eval_operand(a2, b2), log_norm, weights, dof)
     return out[0, :n_orig]
 
 
@@ -314,7 +511,7 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
-            *_small_specs([(kd, dim), (kd, 1), (K, 1), (K, 1), (K, 1)]),
+            *_small_specs([(kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
         ],
         out_specs=[_lane_spec(K, tile), _lane_spec(1, tile)],
         out_shape=[
@@ -322,7 +519,7 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
             jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         ],
         interpret=INTERPRET,
-    )(xT, a2, b2, log_norm, weights, dof)
+    )(xT, _aug_eval_operand(a2, b2), log_norm, weights, dof)
     return rho[:, :n_orig], logq[0, :n_orig]
 
 
@@ -339,11 +536,11 @@ def fused_maha(xT, a2, b2, *, dim):
     out = pl.pallas_call(
         functools.partial(_maha_kernel, dim=dim),
         grid=(grid,),
-        in_specs=[_lane_spec(dim, tile), *_small_specs([(kd, dim), (kd, 1)])],
+        in_specs=[_lane_spec(dim, tile), *_small_specs([(kd, dim + 1)])],
         out_specs=_lane_spec(K, tile),
         out_shape=jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(xT, a2, b2)
+    )(xT, _aug_eval_operand(a2, b2))
     return out[:, :n_orig]
 
 
@@ -387,6 +584,86 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
         interpret=INTERPRET,
     )(seed, lat2, scale2, ct2, mu2, dof)
     return out[:, :n_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dim"))
+def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
+                       a2, b2, log_norm, weights, dof_col, target=None, *,
+                       n, dim):
+    """ONE kernel for the whole importance-sampling hot path: draw the
+    per-particle component (inverse-CDF on the hardware PRNG), draw the
+    mixture proposal tile (see :func:`fused_transform_rng`), evaluate the
+    proposal log-density on it while it is still VMEM-resident, and
+    optionally evaluate a second (mixture) target density -- the samples
+    are written to HBM exactly once and never re-read, and no XLA-side
+    threefry pass over N is needed at all.
+
+    :param seed: int32 scalar seed (derive from a jax key).
+    :param cumw: ``(K, 1)`` cumulative component weights.
+    :param ct2, mu2: transform operands as :func:`fused_transform`.
+    :param dof_row: ``(1, K)`` proposal dofs or None (Gaussian).
+    :param a2, b2, log_norm, weights, dof_col: proposal evaluation operands
+        as :func:`fused_logq` (``dof_col`` is ``(K, 1)`` or None).
+    :param target: None, or a tuple ``(ta2, tb2, tlog_norm, tweights,
+        tdof_col)`` of the same evaluation operands for a target mixture
+        over the same dimension (``tdof_col`` None for a Gaussian target).
+    :param n: number of particles to draw (static).
+    :returns: ``(samples_T (D, n), latent (n,) int32, log_q (n,))`` and
+        additionally ``log_p (n,)`` when ``target`` is given.
+    """
+    kd = ct2.shape[0]
+    K = kd // dim
+    kt = 0 if target is None else target[0].shape[0] // dim
+    tile = pick_tile(K + kt, dim)
+    n_pad = (n + tile - 1) // tile * tile
+    grid = n_pad // tile
+    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    dtype = ct2.dtype
+    student_t = dof_row is not None
+    if dof_row is None:
+        dof_row = jnp.ones((1, K), dtype=dtype)
+        dof_col = jnp.ones((K, 1), dtype=dtype)
+
+    operands = [seed, cumw, ct2, mu2, dof_row,
+                _aug_eval_operand(a2, b2), log_norm, weights, dof_col]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *_small_specs([(K, 1), (kd, dim), (dim, K), (1, K),
+                       (kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
+    ]
+    out_specs = [_lane_spec(dim, tile), _lane_spec(1, tile),
+                 _lane_spec(1, tile)]
+    out_shape = [jax.ShapeDtypeStruct((dim, n_pad), dtype),
+                 jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                 jax.ShapeDtypeStruct((1, n_pad), dtype)]
+    has_target = target is not None
+    t_student_t = False
+    if has_target:
+        ta2, tb2, tln, tw, tdof = target
+        t_student_t = tdof is not None
+        if tdof is None:
+            tdof = jnp.ones((kt, 1), dtype=dtype)
+        operands += [_aug_eval_operand(ta2, tb2), tln, tw, tdof]
+        in_specs += _small_specs([(kt * dim, dim + 1),
+                                  (kt, 1), (kt, 1), (kt, 1)])
+        out_specs.append(_lane_spec(1, tile))
+        out_shape.append(jax.ShapeDtypeStruct((1, n_pad), dtype))
+
+    outs = pl.pallas_call(
+        functools.partial(_propose_logq_kernel, dim=dim, n_comp=K,
+                          student_t=student_t, t_student_t=t_student_t,
+                          has_target=has_target),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(*operands)
+    if has_target:
+        x, lat, logq, logp = outs
+        return x[:, :n], lat[0, :n], logq[0, :n], logp[0, :n]
+    x, lat, logq = outs
+    return x[:, :n], lat[0, :n], logq[0, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))

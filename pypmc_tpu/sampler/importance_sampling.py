@@ -131,9 +131,9 @@ class ImportanceSampler(object):
         @partial(jax.jit, static_argnames=("n",))
         def step(params, key, n):
             # particles stay transposed (D, n) on device -- the native TPU
-            # layout; the host History receives the (n, D) view for free
-            samples_T, latent = _core.propose_T(params, key, n)
-            log_q = _core.mixture_logpdf_T(params, samples_T)
+            # layout; the host History receives the (n, D) view for free.
+            # propose + proposal-log-q run as ONE fused kernel on TPU
+            samples_T, latent, log_q = _core.propose_logq_T(params, key, n)
             log_p = evaluate_target_T(target, samples_T)
             weights = jnp.exp(log_p - log_q)
             return samples_T, latent, weights, log_p

@@ -82,7 +82,10 @@ def test_fused_transform_matches_gather():
     chol = np.asarray(params.chol)
     expected = MEANS[latent] + np.einsum("nij,nj->ni", chol[latent], z) * scale[:, None]
     assert out.shape == (D, N)
-    assert np.allclose(np.asarray(out), expected.T, rtol=1e-4, atol=1e-5)
+    # split-precision matmul contract: error ~2^-16 relative to the
+    # INTERMEDIATE magnitude |chol z| (can exceed output-relative 1e-5
+    # under cancellation against mu)
+    assert np.allclose(np.asarray(out), expected.T, rtol=1e-4, atol=5e-4)
 
 
 def test_padding_non_multiple_tile():
