@@ -98,6 +98,31 @@ def main():
           np.allclose(np.asarray(serial.params.means), np.asarray(out.means),
                       rtol=1e-5, atol=1e-5))
 
+    # ---- 2b. fused single-pass PMC statistics vs the XLA path ---- #
+    # (the compiled fused_pmc_stats kernel on hardware against the plain
+    # rho/einsum implementation; Student-t covers the gamma pass + dof root)
+    gparams, _ = core.make_mixture(means, covs, w)
+    for tname, p_in in [("gauss", gparams), ("student_t", params)]:
+        fused = pmc_update(p_in, samples, weights)
+        saved = core.use_pallas
+        core.use_pallas = lambda arr: False
+        pmc_update.clear_cache()
+        try:
+            plain = pmc_update(p_in, samples, weights)
+        finally:
+            core.use_pallas = saved
+            pmc_update.clear_cache()
+        ok = np.allclose(np.asarray(fused.params.weights),
+                         np.asarray(plain.params.weights), rtol=1e-4, atol=1e-6)
+        ok &= np.allclose(np.asarray(fused.params.means),
+                          np.asarray(plain.params.means), rtol=1e-3, atol=1e-3)
+        ok &= np.allclose(np.asarray(fused.params.cov),
+                          np.asarray(plain.params.cov), rtol=1e-2, atol=1e-3)
+        if p_in.is_student_t:
+            ok &= np.allclose(np.asarray(fused.params.dof),
+                              np.asarray(plain.params.dof), rtol=1e-3, atol=1e-3)
+        check("fused PMC statistics match XLA path (%s)" % tname, bool(ok))
+
     # ---- 3. hardware-PRNG propose moments ---- #
     for name, dd in [("gauss", None), ("student_t", dofs)]:
         p2, _ = core.make_mixture(means, covs, w, dd)

@@ -163,48 +163,94 @@ def pmc_update(
 
     live = params.weights > 0
 
-    if rb:
-        rho = calculate_rho_rb_T(params, samples_T)   # (K, N)
-    else:
-        rho = _rho_non_rb_T(params, latent, K)
-
-    # kill components with fewer than ``mincount`` samples AFTER rho is
-    # computed (``pmc.pyx:109-116``)
+    # kill components with fewer than ``mincount`` samples (``pmc.pyx:109-116``)
     if latent is not None and mincount > 0:
         count = psum(jnp.bincount(latent, length=K))
         live = live & (count >= mincount)
 
-    # ---- [Cap+08] eq. (14) sufficient statistics ---------------------- #
-    wrho = w[None, :] * rho                          # (K, N)
-    alpha_unnorm = psum(jnp.sum(wrho, axis=1))       # (K,)
-    inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
-    alpha = alpha_unnorm / weight_normalization
+    dof_stats = params.is_student_t and bool(dof_solver_steps)
+    use_fused = (
+        rb
+        and _core.use_pallas(samples_T)
+        and N >= 1024
+        and K * dim <= 128
+    )
 
-    if params.is_student_t:
-        # gamma pass with the OLD parameters (``pmc.pyx:601-610``)
-        maha_old = _core.mahalanobis_all_T(params, samples_T)   # (K, N)
-        nu = params.dof[:, None]
-        gamma = (nu + dim) / (nu + maha_old)         # (K, N)
-        c_mu = wrho * gamma
-        mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=1)))
-        mu = psum(jnp.einsum("kn,in->ki", c_mu, samples_T, precision="highest")) * mu_norm[:, None]
-        cov = psum(_cov_sums_T(samples_T, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
+    if use_fused:
+        # ONE fused pass: rho, gamma, and every sufficient statistic are
+        # computed per tile and accumulated in VMEM -- no (K, N) or second
+        # (D, N) array ever reaches HBM.  Second moments arrive in WHITENED
+        # coordinates (G_k = U_k S_k U_k^T) and are mapped back with the
+        # known Cholesky factors.
+        from ..ops.pallas_kernels import fused_pmc_stats
+
+        a2, b2, log_norm, wk, dof_col = _core._pallas_operands(params, "inv_chol")
+        psi_c = None
+        if dof_stats:
+            psi_c = jax.scipy.special.digamma(
+                0.5 * (dim + params.dof)).reshape(K, 1).astype(dtype)
+        stats = fused_pmc_stats(samples_T, w, a2, b2, log_norm, wk, dof_col,
+                                psi_c, dim=dim, dof_stats=dof_stats)
+        alpha_unnorm = psum(stats["s0"])
+        s0c = psum(stats["s0c"])
+        sd = psum(stats["sd"])
+        g = psum(stats["g"])
+        inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
+        alpha = alpha_unnorm / weight_normalization
+        d_shift = jnp.einsum("kij,kj->ki", params.chol, sd,
+                             precision="highest") / regularize(s0c)[:, None]
+        mu = params.means + d_shift
+        sxx = jnp.einsum("kij,kjl,kml->kim", params.chol, g, params.chol,
+                         precision="highest")
+        cov = (sxx - s0c[:, None, None] * d_shift[:, None, :] * d_shift[:, :, None]) \
+            * inv_unnorm_alpha[:, None, None]
+        rho = None
+        const = None
+        if dof_stats:
+            nu_old = params.dof
+            c2 = (jnp.log(0.5 * nu_old)
+                  - jax.scipy.special.digamma(0.5 * nu_old) + 1.0)
+            sxd = psum(stats["t1"]) + c2 * (weight_normalization - alpha_unnorm)
+            const = 1.0 - sxd / weight_normalization
     else:
-        mu = psum(jnp.einsum("kn,in->ki", wrho, samples_T, precision="highest")) * inv_unnorm_alpha[:, None]
-        cov = psum(_cov_sums_T(samples_T, wrho, mu)) * inv_unnorm_alpha[:, None, None]
+        if rb:
+            rho = calculate_rho_rb_T(params, samples_T)   # (K, N)
+        else:
+            rho = _rho_non_rb_T(params, latent, K)
+
+        # ---- [Cap+08] eq. (14) sufficient statistics ------------------ #
+        wrho = w[None, :] * rho                          # (K, N)
+        alpha_unnorm = psum(jnp.sum(wrho, axis=1))       # (K,)
+        inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
+        alpha = alpha_unnorm / weight_normalization
+
+        if params.is_student_t:
+            # gamma pass with the OLD parameters (``pmc.pyx:601-610``)
+            maha_old = _core.mahalanobis_all_T(params, samples_T)   # (K, N)
+            nu = params.dof[:, None]
+            gamma = (nu + dim) / (nu + maha_old)         # (K, N)
+            c_mu = wrho * gamma
+            mu_norm = 1.0 / regularize(psum(jnp.sum(c_mu, axis=1)))
+            mu = psum(jnp.einsum("kn,in->ki", c_mu, samples_T, precision="highest")) * mu_norm[:, None]
+            cov = psum(_cov_sums_T(samples_T, c_mu, mu)) * inv_unnorm_alpha[:, None, None]
+        else:
+            mu = psum(jnp.einsum("kn,in->ki", wrho, samples_T, precision="highest")) * inv_unnorm_alpha[:, None]
+            cov = psum(_cov_sums_T(samples_T, wrho, mu)) * inv_unnorm_alpha[:, None, None]
+
+        const = None
+        if dof_stats:
+            nu_old = params.dof[:, None]
+            b = maha_old  # bilinear form with old inverse sigma, (K, N)
+            xi = rho * (jnp.log(0.5 * (b + nu_old))
+                        - jax.scipy.special.digamma(0.5 * (dim + nu_old))) \
+                + (1.0 - rho) * (jnp.log(0.5 * nu_old)
+                                 - jax.scipy.special.digamma(0.5 * nu_old))
+            delta = rho * (dim + nu_old) / (b + nu_old) + (1.0 - rho)
+            const = 1.0 - psum(jnp.einsum("kn,n->k", xi + delta, w)) / weight_normalization
 
     # ---- Student-t dof first-order condition, [HOD12] eq. (16) -------- #
     new_dofs = None
-    if params.is_student_t and dof_solver_steps:
-        nu_old = params.dof[:, None]
-        b = maha_old  # bilinear form with old inverse sigma, (K, N)
-        xi = rho * (jnp.log(0.5 * (b + nu_old))
-                    - jax.scipy.special.digamma(0.5 * (dim + nu_old))) \
-            + (1.0 - rho) * (jnp.log(0.5 * nu_old)
-                             - jax.scipy.special.digamma(0.5 * nu_old))
-        delta = rho * (dim + nu_old) / (b + nu_old) + (1.0 - rho)
-        const = 1.0 - psum(jnp.einsum("kn,n->k", xi + delta, w)) / weight_normalization
-
+    if dof_stats:
         def condition(nu, c):
             return c + jnp.log(0.5 * nu) - jax.scipy.special.digamma(0.5 * nu)
 

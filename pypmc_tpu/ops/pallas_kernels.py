@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
-           "fused_transform_rng", "fused_propose_logq", "pick_tile"]
+           "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
+           "pick_tile"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
@@ -701,3 +702,176 @@ def fused_transform(zT, latent, scale, ct2, mu2, *, dim):
         interpret=INTERPRET,
     )(zT, lat2, scale2, ct2, mu2)
     return out[:, :n_orig]
+
+
+# ------------------------------------------------------------------ #
+# Fused PMC sufficient statistics                                     #
+# ------------------------------------------------------------------ #
+
+def _dotT_highest(x, y):
+    """``x @ y.T`` (contraction over the LANE/particle axis of both
+    operands, no in-kernel transpose) at FULL float32 precision.
+
+    The sufficient-statistics Gram matrix needs it: its entries carry
+    ``|mu_new - mu_old|^2``-scale values that later cancel against the
+    mean-shift term, so a 2^-16 split error would be amplified by
+    ``d^2/sigma^2`` (measured 0.37 relative on the covariance for a
+    deliberately mis-centered mixture)."""
+    return jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
+                      s0_ref, s0c_ref, sd_ref, g_ref, sw_ref, t1_ref, *,
+                      dim, student_t, dof_stats, tiny):
+    """One pass over a particle tile producing ALL PMC sufficient
+    statistics, accumulated in VMEM across grid steps.
+
+    The second-moment sums are computed in WHITENED coordinates: the
+    evaluation's centered projection ``diff = U_k (x - mu_k)`` (stacked
+    ``(K*D, TN)``) gives ``G = (c * diff) @ diff^T`` whose K diagonal
+    ``(D, D)`` blocks are ``U_k S_k U_k^T``; the caller recovers the raw
+    sums as ``L_k G_kk L_k^T`` (exact linear algebra, no extra pass).
+    Means come the same way: ``sum_n c (x - mu_k) = L_k sum_n c*diff_k``.
+    Neither rho, gamma, nor any per-particle array ever reaches HBM.
+
+    Reference semantics: ``mix_adapt/pmc.pyx:23-43`` (rho), ``:601-610``
+    (gamma pass), ``:181-224``/``:612-650`` (statistics), ``:652-683``
+    (the dof-condition reduction, accumulated as
+    ``t1 = sum_n w rho [log(0.5(b+nu)) - psi(0.5(D+nu)) + gamma]``).
+    """
+    kd = a_ref.shape[0]
+    K = kd // dim
+    tn = x_ref.shape[1]
+
+    x_aug = jnp.concatenate(
+        [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    # FULL precision throughout this kernel: rho is exponentially
+    # sensitive to the ABSOLUTE Mahalanobis error (a 2^-16 relative maha
+    # error is ~1e-3 in log space at maha ~ 100, i.e. ~0.1% on every tail
+    # responsibility), and the mean-shift cancellation in the covariance
+    # amplifies statistics errors by d^2/sigma^2 (measured 0.37 relative
+    # with split-precision inputs on a mis-centered mixture)
+    diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
+    seg = _block_selector(K, kd, dim, jnp.float32)
+    maha = _dot(seg, diff * diff)             # (K, TN)
+    wk = wk_ref[:]                            # (K, 1) mixture weights
+    ln = ln_ref[:]
+    if student_t:
+        nu = dofc_ref[:]                      # (K, 1)
+        ind = ln - 0.5 * (nu + dim) * jnp.log1p(maha / nu)
+    else:
+        ind = ln - 0.5 * maha
+    lse = _weighted_lse(ind, wk)
+    rho = jnp.exp(ind) * wk / (jnp.exp(lse) + tiny)
+    rho = jnp.where(wk > 0, rho, 0.0)         # (K, TN)
+
+    w = w_ref[:]                              # (1, TN)
+    wrho = rho * w
+    if student_t:
+        gamma = (nu + dim) / (nu + maha)
+        c = wrho * gamma
+    else:
+        c = wrho
+    c_exp = _dot_sel(seg.T, c)                # (KD, TN), exact
+    a_mat = c_exp * diff
+    g = _dotT_highest(a_mat, diff)            # (KD, KD)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        s0c_ref[:] = jnp.zeros_like(s0c_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+        sw_ref[:] = jnp.zeros_like(sw_ref)
+        t1_ref[:] = jnp.zeros_like(t1_ref)
+
+    s0_ref[:] += jnp.sum(wrho, axis=1, keepdims=True)
+    s0c_ref[:] += jnp.sum(c, axis=1, keepdims=True)
+    sd_ref[:] += jnp.sum(a_mat, axis=1, keepdims=True)
+    g_ref[:] += g
+    sw_ref[:] += jnp.concatenate(
+        [jnp.sum(w, axis=1, keepdims=True),
+         jnp.sum(w * w, axis=1, keepdims=True)], axis=0)
+    if dof_stats:
+        # [HOD12] dof first-order condition, rho-weighted bracket; the
+        # (1-rho) bracket is a per-component constant handled by the caller
+        brk1 = jnp.log(0.5 * (maha + nu)) - psi_ref[:] + gamma
+        t1_ref[:] += jnp.sum(wrho * brk1, axis=1, keepdims=True)
+    else:
+        t1_ref[:] += jnp.zeros_like(t1_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "dof_stats"))
+def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
+                    dim, dof_stats=False):
+    """ALL sufficient statistics of one PMC update in a single fused pass
+    over the particles (see :func:`_pmc_stats_kernel`).
+
+    :param xT: ``(D, N)`` transposed particles.
+    :param w: ``(N,)`` importance weights (unnormalized).
+    :param a2, b2, log_norm, weights, dof_col: evaluation operands of the
+        CURRENT mixture as :func:`fused_logq` (``dof_col`` None = Gaussian).
+    :param psi_c: ``(K, 1)`` ``digamma(0.5 (D + nu))`` (Student-t with
+        ``dof_stats`` only).
+    :returns: dict with
+        ``s0 (K,)`` = sum w rho,
+        ``s0c (K,)`` = sum c  (c = w rho gamma for Student-t, else == s0),
+        ``sd (K, D)`` = sum c * U_k (x - mu_k)  (whitened mean shift),
+        ``g (K, D, D)`` = diagonal blocks of sum (c diff) diff^T (whitened
+        second moments),
+        ``sw (2,)`` = [sum w, sum w^2],
+        ``t1 (K,)`` = rho-weighted dof-condition bracket (zeros unless
+        ``dof_stats``).
+    """
+    kd = a2.shape[0]
+    K = kd // dim
+    tile = pick_tile(K, dim)
+    xT, _ = _pad_lanes(xT, tile)
+    w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
+    grid = xT.shape[1] // tile
+    dtype = xT.dtype
+    student_t = dof_col is not None
+    if dof_col is None:
+        dof_col = jnp.ones((K, 1), dtype=dtype)
+    if psi_c is None:
+        psi_c = jnp.zeros((K, 1), dtype=dtype)
+    tiny_v = float(jnp.finfo(dtype).tiny)
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    s0, s0c, sd, g, sw, t1 = pl.pallas_call(
+        functools.partial(_pmc_stats_kernel, dim=dim, student_t=student_t,
+                          dof_stats=dof_stats, tiny=tiny_v),
+        grid=(grid,),
+        in_specs=[
+            _lane_spec(dim, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim + 1), (K, 1), (K, 1), (K, 1), (K, 1)]),
+        ],
+        out_specs=[acc((K, 1)), acc((K, 1)), acc((kd, 1)), acc((kd, kd)),
+                   acc((2, 1)), acc((K, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 1), dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+            jax.ShapeDtypeStruct((kd, 1), dtype),
+            jax.ShapeDtypeStruct((kd, kd), dtype),
+            jax.ShapeDtypeStruct((2, 1), dtype),
+            jax.ShapeDtypeStruct((K, 1), dtype),
+        ],
+        interpret=INTERPRET,
+    )(xT, w2, _aug_eval_operand(a2, b2), log_norm, weights, dof_col, psi_c)
+    g4 = g.reshape(K, dim, K, dim)
+    g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
+        g4, (k, 0, k, 0), (1, dim, 1, dim)).reshape(dim, dim)
+    )(jnp.arange(K))
+    return {
+        "s0": s0[:, 0],
+        "s0c": s0c[:, 0],
+        "sd": sd.reshape(K, dim),
+        "g": g_blocks,
+        "sw": sw[:, 0],
+        "t1": t1[:, 0],
+    }

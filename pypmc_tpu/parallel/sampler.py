@@ -27,6 +27,12 @@ from .mesh import PARTICLE_AXIS, particle_mesh
 
 __all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded", "PMCStepStats"]
 
+# compiled-step cache for pmc_run_sharded, keyed on everything the trace
+# depends on (incl. the target function object itself; entries pin their
+# targets alive, which is fine for the long-lived pipeline functions this
+# API is built for)
+_STEP_CACHE = {}
+
 
 def _is_body(params, key, n_local, target):
     """Per-shard importance-sampling step: propose, evaluate, weight.
@@ -59,22 +65,29 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     )
     n_local = n_total // n_dev
 
-    # check_vma=False: the Pallas kernels' out_shape carries no
-    # varying-manual-axes annotation, which the shard_map replication
-    # checker (correctly) refuses; replication correctness is covered by
-    # the sharded-equals-serial tests
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
-        check_vma=False,
-    )
-    def step(params, key):
-        my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        return _is_body(params, my_key, n_local, target)
+    cache_key = ("is_step", target, mesh, n_local, axis_name)
+    if cache_key in _STEP_CACHE:
+        step = _STEP_CACHE[cache_key]
+    else:
+        # check_vma=False: the Pallas kernels' out_shape carries no
+        # varying-manual-axes annotation, which the shard_map replication
+        # checker (correctly) refuses; replication correctness is covered by
+        # the sharded-equals-serial tests
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
+            check_vma=False,
+        )
+        def step(params, key):
+            my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            return _is_body(params, my_key, n_local, target)
 
-    return jax.jit(step)(params, key)
+        step = jax.jit(step)
+        _STEP_CACHE[cache_key] = step
+
+    return step(params, key)
 
 
 class PMCStepStats(NamedTuple):
@@ -124,6 +137,21 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     n_local = n_total // n_dev
     is_t = params.is_student_t
 
+    # commit the initial mixture to the mesh-replicated sharding the step
+    # itself produces -- otherwise the first step compiles for host-resident
+    # inputs and the SECOND step (fed by the first's output) recompiles for
+    # the mesh sharding, paying the remote XLA compile twice
+    params = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh, P()))
+    key = jax.device_put(key, jax.sharding.NamedSharding(mesh, P()))
+
+    # the compiled step is cached across pmc_run_sharded calls (a fresh
+    # closure per call would defeat jax.jit's cache and pay the remote
+    # XLA compile on every invocation -- ~seconds through the tunnel)
+    cache_key = ("pmc_step", target, mesh, n_local, rb, dof_solver_steps,
+                 mindof, maxdof, axis_name, is_t, bool(scan_steps),
+                 n_steps if scan_steps else None)
+
     def step_body(params, key):
         """One PMC step on the local shard (called under shard_map)."""
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -159,26 +187,36 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
             "return_final_samples is not available with scan_steps=True"
         )
 
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
-                 out_specs=(P(), P()), check_vma=False)
-        def run_all(params, keys):
-            def body(carry, k):
-                new_params, stats, _, _ = step_body(carry, k)
-                return new_params, stats
+        if cache_key in _STEP_CACHE:
+            run_all = _STEP_CACHE[cache_key]
+        else:
+            @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+                     out_specs=(P(), P()), check_vma=False)
+            def run_all(params, keys):
+                def body(carry, k):
+                    new_params, stats, _, _ = step_body(carry, k)
+                    return new_params, stats
 
-            return jax.lax.scan(body, params, keys)
+                return jax.lax.scan(body, params, keys)
+
+            run_all = jax.jit(run_all)
+            _STEP_CACHE[cache_key] = run_all
 
         keys = jax.random.split(key, n_steps)
-        params, stats = jax.jit(run_all)(params, keys)
+        params, stats = run_all(params, keys)
         return params, stats
 
-    step = jax.jit(
-        partial(
-            jax.shard_map, mesh=mesh, in_specs=(P(), P()),
-            out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
-            check_vma=False,
-        )(step_body)
-    )
+    if cache_key in _STEP_CACHE:
+        step = _STEP_CACHE[cache_key]
+    else:
+        step = jax.jit(
+            partial(
+                jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+                out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
+                check_vma=False,
+            )(step_body)
+        )
+        _STEP_CACHE[cache_key] = step
 
     all_stats = []
     samples = weights = None

@@ -113,3 +113,85 @@ def test_odd_shapes_logq(kk, dd):
     out = pk.fused_logq(jnp.asarray(x.T.copy()), a2, b2, log_norm, weights, dof, dim=dd)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(x)), params.weights, axis=-1)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("student_t", [False, True])
+def test_fused_pmc_stats_matches_xla_update(student_t, monkeypatch):
+    """The single-pass fused sufficient-statistics kernel must reproduce the
+    plain-XLA ``pmc_update`` bit-for-formula: weights, means, covariances,
+    and (Student-t) the dof root all agree."""
+    from pypmc_tpu.mix_adapt import pmc as pmc_mod
+
+    n = 2048  # above the fused-path threshold
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 2, size=(n, D)).astype(np.float32)
+    xT = jnp.asarray(x.T.copy())
+    w = np.abs(rng.normal(1.0, 0.3, size=n)).astype(np.float32)
+    params = make_params(student_t)
+
+    ref = pmc_mod.pmc_update(params, xT, jnp.asarray(w), transposed=True,
+                             dof_solver_steps=60)
+    monkeypatch.setattr(core, "use_pallas", lambda arr: True)
+    pmc_mod.pmc_update.clear_cache()
+    try:
+        out = pmc_mod.pmc_update(params, xT, jnp.asarray(w), transposed=True,
+                                 dof_solver_steps=60)
+    finally:
+        pmc_mod.pmc_update.clear_cache()
+
+    assert np.asarray(out.updated_ok).tolist() == np.asarray(ref.updated_ok).tolist()
+    assert np.allclose(np.asarray(out.params.weights), np.asarray(ref.params.weights),
+                       rtol=1e-4, atol=1e-6)
+    assert np.allclose(np.asarray(out.params.means), np.asarray(ref.params.means),
+                       rtol=1e-3, atol=1e-4)
+    assert np.allclose(np.asarray(out.params.cov), np.asarray(ref.params.cov),
+                       rtol=5e-3, atol=5e-4)
+    if student_t:
+        assert np.allclose(np.asarray(out.params.dof), np.asarray(ref.params.dof),
+                           rtol=1e-3, atol=1e-3)
+    # dead component stays dead
+    assert float(np.asarray(out.params.weights)[4]) == 0.0
+
+
+def test_fused_pmc_stats_sums():
+    """Direct check of the raw statistics against a numpy model."""
+    from pypmc_tpu.ops.pallas_kernels import fused_pmc_stats
+
+    n = 1536
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 2, size=(n, D)).astype(np.float32)
+    w = np.abs(rng.normal(1.0, 0.3, size=n)).astype(np.float32)
+    params = make_params(True)
+    a2, b2, log_norm, wk, dof_col = core._pallas_operands(params, "inv_chol")
+    psi_c = jax.scipy.special.digamma(0.5 * (D + params.dof)).reshape(K, 1)
+    stats = fused_pmc_stats(jnp.asarray(x.T.copy()), jnp.asarray(w), a2, b2,
+                            log_norm, wk, dof_col, psi_c.astype(jnp.float32),
+                            dim=D, dof_stats=True)
+
+    # numpy model of rho / gamma with the same formulas
+    inv_chol = np.asarray(params.inv_chol)
+    means = np.asarray(params.means)
+    diff = np.einsum("kij,knj->kin", inv_chol, x[None] - means[:, None, :])
+    maha = np.sum(diff * diff, axis=1)                       # (K, N)
+    nu = np.asarray(params.dof)[:, None]
+    ln = np.asarray(core.log_normalization(params))[:, None]
+    ind = ln - 0.5 * (nu + D) * np.log1p(maha / nu)
+    wk_np = np.asarray(params.weights)[:, None]
+    m = ind.max(axis=0, keepdims=True)
+    lse = m + np.log(np.sum(np.where(wk_np > 0, wk_np * np.exp(ind - m), 0.0),
+                            axis=0, keepdims=True))
+    rho = np.where(wk_np > 0, np.exp(ind) * wk_np / np.exp(lse), 0.0)
+    wrho = rho * w[None, :]
+    gamma = (nu + D) / (nu + maha)
+    c = wrho * gamma
+
+    assert np.allclose(np.asarray(stats["s0"]), wrho.sum(axis=1), rtol=1e-3)
+    assert np.allclose(np.asarray(stats["s0c"]), c.sum(axis=1), rtol=1e-3)
+    sd_np = np.einsum("kn,kin->ki", c, diff)
+    assert np.allclose(np.asarray(stats["sd"]), sd_np, rtol=1e-3, atol=1e-3)
+    g_np = np.einsum("kn,kin,kjn->kij", c, diff, diff)
+    assert np.allclose(np.asarray(stats["g"]), g_np, rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(stats["sw"]), [w.sum(), (w * w).sum()], rtol=1e-4)
+    brk1 = np.log(0.5 * (maha + nu)) - np.asarray(psi_c) + gamma
+    assert np.allclose(np.asarray(stats["t1"]), (wrho * brk1).sum(axis=1),
+                       rtol=1e-3, atol=1e-3)
