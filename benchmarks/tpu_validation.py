@@ -123,6 +123,34 @@ def main():
                               np.asarray(plain.params.dof), rtol=1e-3, atol=1e-3)
         check("fused PMC statistics match XLA path (%s)" % tname, bool(ok))
 
+    # ---- 2c. fused VB E-step vs the plain XLA path ---- #
+    from pypmc_tpu.mix_adapt import variational as vbmod
+
+    n_vb = 100000
+    xv = jnp.asarray(rng.normal(0, 3, size=(n_vb, D)).astype(np.float32))
+    wv = jnp.asarray(np.abs(rng.normal(1, 0.2, size=n_vb)).astype(np.float32))
+    wv = wv * (n_vb / float(jnp.sum(wv)))
+    alpha_v = jnp.asarray(np.abs(rng.normal(2, 0.5, K)).astype(np.float32))
+    beta_v = jnp.asarray(np.abs(rng.normal(3, 0.5, K)).astype(np.float32))
+    nu_v = jnp.asarray((D + np.abs(rng.normal(3, 1, K))).astype(np.float32))
+    m_v = jnp.asarray(means)
+    a_v = rng.normal(0, 0.2, size=(K, D, D)).astype(np.float32)
+    W_v = jnp.asarray((np.eye(D)[None] * 0.5
+                       + np.einsum("kij,klj->kil", a_v, a_v)).astype(np.float32))
+    ldW_v = jnp.asarray(np.linalg.slogdet(np.asarray(W_v))[1].astype(np.float32))
+    plain_e = vbmod._vb_e_step(xv, wv, alpha_v, beta_v, nu_v, m_v, W_v, ldW_v)
+    fused_e = vbmod._vb_e_step_fused(jnp.asarray(np.asarray(xv).T.copy()), wv,
+                                     alpha_v, beta_v, nu_v, m_v, W_v, ldW_v)
+    ref_qz = float(jnp.einsum("n,nk,nk", wv, plain_e.r, plain_e.log_rho))
+    ok = np.allclose(np.asarray(fused_e.N_comp), np.asarray(plain_e.N_comp),
+                     rtol=1e-3, atol=1e-2)
+    ok &= np.allclose(np.asarray(fused_e.x_mean_comp),
+                      np.asarray(plain_e.x_mean_comp), rtol=1e-3, atol=1e-3)
+    ok &= np.allclose(np.asarray(fused_e.S), np.asarray(plain_e.S),
+                      rtol=1e-2, atol=1e-3)
+    ok &= np.isclose(float(fused_e.log_q_Z), ref_qz, rtol=1e-3)
+    check("fused VB E-step matches XLA path", bool(ok))
+
     # ---- 3. hardware-PRNG propose moments ---- #
     for name, dd in [("gauss", None), ("student_t", dofs)]:
         p2, _ = core.make_mixture(means, covs, w, dd)

@@ -177,14 +177,15 @@ def _weighted_S(data, wr, x_mean, inv_N_comp):
 
 class _EStepOut(NamedTuple):
     expectation_det_ln_lambda: jax.Array  # (K,)
-    expectation_gauss_exponent: jax.Array  # (N, K)
+    expectation_gauss_exponent: jax.Array  # (N, K); None on the fused path
     expectation_ln_pi: jax.Array  # (K,)
-    log_rho: jax.Array  # (N, K) normalized log responsibilities
-    r: jax.Array  # (N, K)
+    log_rho: jax.Array  # (N, K) normalized log responsibilities; fused: None
+    r: jax.Array  # (N, K); None on the fused path
     N_comp: jax.Array  # (K,)
     inv_N_comp: jax.Array  # (K,)
     x_mean_comp: jax.Array  # (K, D)
     S: jax.Array  # (K, D, D)
+    log_q_Z: jax.Array = None  # scalar (10.75); set only by the fused path
 
 
 @jax.jit
@@ -219,6 +220,56 @@ def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
     S = _weighted_S(data, wr, x_mean, inv_N_comp)  # (10.53)
 
     return _EStepOut(e_lnlam, e_gauss, e_lnpi, log_rho, r, N_comp, inv_N_comp, x_mean, S)
+
+
+@jax.jit
+def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W):
+    """VB-GMM E-step with ALL sufficient statistics computed in one fused
+    Pallas pass over the data (:func:`pypmc_tpu.ops.pallas_kernels.fused_vb_estep`):
+    no (N, K) responsibility matrix is materialized; the bound's per-sample
+    term (10.75) comes back as the in-kernel scalar ``log_q_Z``.
+
+    Takes the data TRANSPOSED ``(D, N)`` (native TPU layout).  The reduced
+    :class:`_EStepOut` carries None for the (N, K) fields; accessing
+    ``GaussianInference.r`` materializes them lazily via the plain path.
+    """
+    from functools import partial as _partial
+
+    from ..ops.pallas_kernels import fused_vb_estep
+
+    D, N = dataT.shape
+    K = m.shape[0]
+    dtype = dataT.dtype
+
+    e_lnlam = _wishart_expect_log_lambda(D, nu, log_det_W)
+    e_lnpi = jax.scipy.special.digamma(alpha) - jax.scipy.special.digamma(jnp.sum(alpha))
+
+    # whitening A_k = sqrt(nu_k) chol(W_k)^T:  |A_k (x - m_k)|^2 equals the
+    # Gauss-exponent quadratic nu_k (x-m_k)^T W_k (x-m_k) of (10.64)
+    chol_W = jnp.linalg.cholesky(W)
+    A = (jnp.sqrt(nu)[:, None, None]
+         * jnp.transpose(chol_W, (0, 2, 1))).astype(dtype)   # (K, D, D) upper
+    a2 = A.reshape(K * D, D)
+    b2 = jnp.einsum("kij,kj->ki", A, m.astype(dtype),
+                    precision="highest").reshape(K * D, 1)
+    const = (e_lnpi + 0.5 * (e_lnlam - D * jnp.log(2.0 * jnp.pi))
+             - 0.5 * D / beta).reshape(K, 1).astype(dtype)
+
+    N_comp, sd, g, log_q_Z = fused_vb_estep(
+        dataT, weights.astype(dtype), a2, b2, const, dim=D)
+    inv_N_comp = 1.0 / regularize(N_comp)
+
+    # un-whiten (exact linear algebra): x - m = A^{-1} diff
+    solve = _partial(jax.scipy.linalg.solve_triangular, lower=False)
+    d = jax.vmap(solve)(A, sd * inv_N_comp[:, None])          # (K, D)
+    x_mean = m + d
+    Y = jax.vmap(solve)(A, g)                                 # A^{-1} G
+    G_raw = jax.vmap(solve)(A, jnp.transpose(Y, (0, 2, 1)))   # A^{-1} G A^{-T}
+    S = symmetrize((G_raw - N_comp[:, None, None]
+                    * d[:, None, :] * d[:, :, None]) * inv_N_comp[:, None, None])
+
+    return _EStepOut(e_lnlam, None, e_lnpi, None, None,
+                     N_comp, inv_N_comp, x_mean, S, log_q_Z)
 
 
 @jax.jit
@@ -316,8 +367,11 @@ def _vb_bound(weights, e: _EStepOut, alpha, beta, nu, m, W, log_det_W,
         + (nu0 - D - 1) * e_lnlam
         - nu * tr_invW0_W
     )
-    # (10.75) (weighted)
-    log_q_Z = jnp.einsum("n,nk,nk", weights, r, log_rho)
+    # (10.75) (weighted); the fused E-step reduces this term in-kernel
+    if e.log_q_Z is not None:
+        log_q_Z = e.log_q_Z
+    else:
+        log_q_Z = jnp.einsum("n,nk,nk", weights, r, log_rho)
     # (10.76)
     log_q_pi = jnp.einsum("k,k", alpha - 1, e_lnpi) + _dirichlet_log_C(alpha)
     # (10.77)
@@ -330,6 +384,37 @@ def _vb_bound(weights, e: _EStepOut, alpha, beta, nu, m, W, log_det_W,
         log_p_X + log_p_Z + log_p_pi + log_p_mu_lambda
         - log_q_Z - log_q_pi - log_q_mu_lambda
     )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("fused",))
+def _vb_update_bound(data, weights, N_comp, x_mean, S,
+                     alpha0, beta0, nu0, m0, inv_W0, log_det_W0, *, fused):
+    """One full VB iteration -- M-step, E-step, likelihood bound, finiteness
+    flag -- as a SINGLE compiled computation.  ``run()`` uses this instead of
+    three separate dispatches (M/E/bound): through a remote-dispatch tunnel
+    each dispatch costs ~23 ms, and the separate E-step's finiteness checks
+    force two extra device syncs per iteration.
+
+    ``data`` is ``(N, D)``, or ``(D, N)`` when ``fused`` (the Pallas E-step
+    takes the native transposed layout).
+    """
+    alpha, beta, nu, m, W, log_det_W = _vb_m_step(
+        N_comp, x_mean, S, alpha0, beta0, nu0, m0, inv_W0)
+    if fused:
+        e = _vb_e_step_fused(data, weights, alpha, beta, nu, m, W, log_det_W)
+    else:
+        e = _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W)
+    bound = _vb_bound(weights, e, alpha, beta, nu, m, W, log_det_W,
+                      alpha0, beta0, nu0, m0, inv_W0, log_det_W0)
+    r_check = e.r if e.r is not None else e.N_comp
+    finite = (jnp.all(jnp.isfinite(r_check)) & jnp.all(jnp.isfinite(e.S)))
+    # pack the two host-visible scalars into ONE array: each device->host
+    # fetch pays a full tunnel round trip
+    bound_finite = jnp.stack([bound, finite.astype(bound.dtype)])
+    return (alpha, beta, nu, m, W, log_det_W), e, bound_finite
 
 
 # --------------------------------------------------------------------- #
@@ -375,6 +460,7 @@ class GaussianInference(object):
             self.data = jnp.asarray(data)
         self.N = int(self.data.shape[0])
         self.dim = int(self.data.shape[1])
+        self._data_T = None  # transposed copy, created on first fused E-step
         if weights is not None:
             if not isinstance(weights, jax.Array):
                 weights = _np.asarray(weights, dtype=float)
@@ -566,7 +652,21 @@ class GaussianInference(object):
 
     # ---------------- E / M / bound ---------------- #
 
+    def _fused_eligible(self):
+        from ..density import core as _dcore
+
+        return (_dcore.use_pallas(self.data) and self.N >= 1024
+                and self.K * self.dim <= 128)
+
     def _e_step_kernel(self):
+        if self._fused_eligible():
+            if self._data_T is None or self._data_T.shape[1] != self.N:
+                self._data_T = jnp.asarray(self.data.T)
+            return _vb_e_step_fused(
+                self._data_T, self.weights,
+                jnp.asarray(self.alpha), jnp.asarray(self.beta), jnp.asarray(self.nu),
+                jnp.asarray(self.m), jnp.asarray(self.W), jnp.asarray(self.log_det_W),
+            )
         return _vb_e_step(
             self.data, self.weights,
             jnp.asarray(self.alpha), jnp.asarray(self.beta), jnp.asarray(self.nu),
@@ -577,9 +677,10 @@ class GaussianInference(object):
         """Compute expectation values and summary statistics (one jitted
         kernel; reference order ``variational.pyx:116-127``)."""
         out = self._e_step_kernel()
-        if not bool(jnp.all(jnp.isfinite(out.r))):
+        r_check = out.r if out.r is not None else out.N_comp
+        if not bool(jnp.all(jnp.isfinite(r_check))):
             raise _np.linalg.LinAlgError(
-                "Encountered inf or nan in update of responsibilities\n" + str(out.r)
+                "Encountered inf or nan in update of responsibilities\n" + str(r_check)
             )
         if not bool(jnp.all(jnp.isfinite(out.S))):
             raise _np.linalg.LinAlgError(
@@ -587,14 +688,38 @@ class GaussianInference(object):
             )
         self._e = out
         self.expectation_det_ln_lambda = out.expectation_det_ln_lambda
-        self.expectation_gauss_exponent = out.expectation_gauss_exponent
         self.expectation_ln_pi = out.expectation_ln_pi
-        self.log_rho = out.log_rho
-        self.r = out.r
         self.N_comp = out.N_comp
         self.inv_N_comp = out.inv_N_comp
         self.x_mean_comp = out.x_mean_comp
         self.S = out.S
+
+    def _require_full_e(self):
+        """Materialize the (N, K) E-step fields (responsibilities etc.) if
+        the fused reduced path was used; one extra pass over the data."""
+        if self._e.r is None:
+            self._e = _vb_e_step(
+                self.data, self.weights,
+                jnp.asarray(self.alpha), jnp.asarray(self.beta), jnp.asarray(self.nu),
+                jnp.asarray(self.m), jnp.asarray(self.W), jnp.asarray(self.log_det_W),
+            )
+
+    @property
+    def r(self):
+        """(N, K) responsibility matrix (10.49); computed on demand when the
+        fused E-step was used."""
+        self._require_full_e()
+        return self._e.r
+
+    @property
+    def log_rho(self):
+        self._require_full_e()
+        return self._e.log_rho
+
+    @property
+    def expectation_gauss_exponent(self):
+        self._require_full_e()
+        return self._e.expectation_gauss_exponent
 
     def M_step(self):
         """Update the Gauss-Wishart/Dirichlet parameters (one jitted
@@ -611,6 +736,47 @@ class GaussianInference(object):
         """One M-step followed by one E-step."""
         self.M_step()
         self.E_step()
+
+    def _update_with_bound(self):
+        """One iteration of :meth:`run`: M-step, E-step, and likelihood
+        bound in a SINGLE compiled dispatch (see :func:`_vb_update_bound`);
+        returns the bound as a float.  Semantics identical to
+        ``update(); likelihood_bound()``."""
+        if self._fused_eligible():
+            if self._data_T is None or self._data_T.shape[1] != self.N:
+                self._data_T = jnp.asarray(self.data.T)
+            data, fused = self._data_T, True
+        else:
+            data, fused = self.data, False
+        # device copies of the prior hyperparameters, re-uploaded only when
+        # the priors themselves are replaced (prune / posterior2prior /
+        # set_variational_parameters) -- per-iteration host->device
+        # transfers cost ~25 ms through a remote-dispatch tunnel
+        src = (self.alpha0, self.beta0, self.nu0, self.m0, self.inv_W0,
+               self.log_det_W0)
+        cached = getattr(self, "_pri_cache", None)
+        if cached is None or any(a is not b for a, b in zip(cached[0], src)):
+            cached = (src, tuple(jnp.asarray(v) for v in src))
+            self._pri_cache = cached
+        hyper, e, bound_finite = _vb_update_bound(
+            data, self.weights, self.N_comp, self.x_mean_comp, self.S,
+            *cached[1], fused=fused)
+        bf = _np.asarray(bound_finite)  # the ONLY host sync of the iteration
+        bound = float(bf[0])
+        if not bool(bf[1]):
+            raise _np.linalg.LinAlgError(
+                "Encountered inf or nan in update of responsibilities or"
+                " sample covariance"
+            )
+        self.alpha, self.beta, self.nu, self.m, self.W, self.log_det_W = hyper
+        self._e = e
+        self.expectation_det_ln_lambda = e.expectation_det_ln_lambda
+        self.expectation_ln_pi = e.expectation_ln_pi
+        self.N_comp = e.N_comp
+        self.inv_N_comp = e.inv_N_comp
+        self.x_mean_comp = e.x_mean_comp
+        self.S = e.S
+        return bound
 
     def likelihood_bound(self):
         """Lower bound on the true log marginal likelihood given the current
@@ -729,8 +895,7 @@ class GaussianInference(object):
                     "New bound=%g, K=%d, N_k=%s" % (old_bound, self.K, self.N_comp)
                 )
 
-            self.update()
-            bound = self.likelihood_bound()
+            bound = self._update_with_bound()
 
             logger.info(
                 "After update %d: bound=%.15g, K=%d, N_k=%s"
@@ -809,6 +974,10 @@ class VBMerge(GaussianInference):
             return _np.asarray(self.mu)[indices].copy()
         else:
             raise ValueError("Invalid ``initial_guess``: " + str(initial_guess))
+
+    def _update_with_bound(self):
+        self.update()
+        return self.likelihood_bound()
 
     def _e_step_kernel(self):
         return _vb_merge_e_step(

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
            "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
+           "fused_vb_estep",
            "pick_tile"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
@@ -756,7 +757,7 @@ def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
     # with split-precision inputs on a mis-centered mixture)
     diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
     seg = _block_selector(K, kd, dim, jnp.float32)
-    maha = _dot(seg, diff * diff)             # (K, TN)
+    maha = _dot_sel(seg, diff * diff)         # (K, TN); EXACT, 3 bf16 passes
     wk = wk_ref[:]                            # (K, 1) mixture weights
     ln = ln_ref[:]
     if student_t:
@@ -875,3 +876,112 @@ def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
         "sw": sw[:, 0],
         "t1": t1[:, 0],
     }
+
+
+# ------------------------------------------------------------------ #
+# Fused VB-GMM E-step                                                 #
+# ------------------------------------------------------------------ #
+
+def _vb_estep_kernel(x_ref, w_ref, a_ref, c_ref,
+                     s0_ref, sd_ref, g_ref, ent_ref, *, dim):
+    """One pass over a particle tile producing the VB E-step sufficient
+    statistics (Bishop 10.46/10.49, 10.51-10.53), accumulated in VMEM.
+
+    ``a_ref (K*D, D+1)`` stacks ``A_k = sqrt(nu_k) chol(W_k)^T`` with the
+    projected means appended (:func:`_aug_eval_operand`), so ``diff =
+    A_k (x - m_k)`` comes from one matmul and ``|diff|^2 = nu_k (x-m_k)^T
+    W_k (x-m_k)`` is exactly the Gauss-exponent quadratic (10.64).
+    ``c_ref (K, 1)`` carries the remaining per-component constant
+    ``E[ln pi_k] + (E[ln det Lambda_k] - D ln 2pi - D/beta_k)/2`` so the
+    softmax argument (10.46) is ``c_k - maha_k/2``.  Second moments are
+    accumulated WHITENED (``G_k = A_k Sum_k A_k^T`` diagonal blocks) and
+    un-whitened by the caller with triangular solves; the responsibility
+    entropy (10.75) is reduced in-kernel to one scalar, so no (N, K)
+    array ever reaches HBM.
+
+    Reference semantics: ``mix_adapt/variational.pyx:699-932``.
+    """
+    kd = a_ref.shape[0]
+    K = kd // dim
+    tn = x_ref.shape[1]
+
+    x_aug = jnp.concatenate(
+        [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    # FULL precision: same sensitivity analysis as _pmc_stats_kernel
+    # (responsibilities exponential in the ABSOLUTE quadratic error, and
+    # the S_k mean-shift cancellation amplifies relative errors)
+    diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
+    seg = _block_selector(K, kd, dim, jnp.float32)
+    maha = _dot_sel(seg, diff * diff)         # (K, TN) = nu (x-m) W (x-m); EXACT
+    ind = c_ref[:] - 0.5 * maha               # (10.46) log rho
+    m = jnp.max(ind, axis=0, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(ind - m), axis=0, keepdims=True)) + m
+    logr = ind - lse                          # (10.49), normalized
+    r = jnp.exp(logr)
+
+    w = w_ref[:]                              # (1, TN)
+    wr = r * w
+    c_exp = _dot_sel(seg.T, wr)               # (KD, TN), exact
+    a_mat = c_exp * diff
+    g = _dotT_highest(a_mat, diff)            # (KD, KD)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+        ent_ref[:] = jnp.zeros_like(ent_ref)
+
+    s0_ref[:] += jnp.sum(wr, axis=1, keepdims=True)
+    sd_ref[:] += jnp.sum(a_mat, axis=1, keepdims=True)
+    g_ref[:] += g
+    # (10.75): sum_n w_n sum_k r log r  (zero-weight lanes contribute 0)
+    ent_ref[:] += jnp.sum(jnp.sum(wr * logr, axis=1, keepdims=True),
+                          axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def fused_vb_estep(xT, w, a2, b2, const, *, dim):
+    """VB E-step sufficient statistics in a single fused pass
+    (see :func:`_vb_estep_kernel`).
+
+    :param xT: ``(D, N)`` transposed data.
+    :param w: ``(N,)`` sample weights (normalized to sum N by the caller).
+    :param a2: ``(K*D, D)`` stacked ``A_k = sqrt(nu_k) chol(W_k)^T``.
+    :param b2: ``(K*D, 1)`` projected means ``A_k m_k``.
+    :param const: ``(K, 1)`` per-component softmax constant.
+    :returns: ``(N_comp (K,), sd (K, D), g (K, D, D), log_q_Z ())`` with
+        ``sd``/``g`` the WHITENED first/second moment sums.
+    """
+    kd = a2.shape[0]
+    K = kd // dim
+    tile = pick_tile(K, dim)
+    xT, _ = _pad_lanes(xT, tile)
+    w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
+    grid = xT.shape[1] // tile
+    dtype = xT.dtype
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    s0, sd, g, ent = pl.pallas_call(
+        functools.partial(_vb_estep_kernel, dim=dim),
+        grid=(grid,),
+        in_specs=[
+            _lane_spec(dim, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim + 1), (K, 1)]),
+        ],
+        out_specs=[acc((K, 1)), acc((kd, 1)), acc((kd, kd)), acc((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 1), dtype),
+            jax.ShapeDtypeStruct((kd, 1), dtype),
+            jax.ShapeDtypeStruct((kd, kd), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        interpret=INTERPRET,
+    )(xT, w2, _aug_eval_operand(a2, b2), const)
+    g4 = g.reshape(K, dim, K, dim)
+    g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
+        g4, (k, 0, k, 0), (1, dim, 1, dim)).reshape(dim, dim)
+    )(jnp.arange(K))
+    return s0[:, 0], sd.reshape(K, dim), g_blocks, ent[0, 0]

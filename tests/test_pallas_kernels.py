@@ -195,3 +195,79 @@ def test_fused_pmc_stats_sums():
     brk1 = np.log(0.5 * (maha + nu)) - np.asarray(psi_c) + gamma
     assert np.allclose(np.asarray(stats["t1"]), (wrho * brk1).sum(axis=1),
                        rtol=1e-3, atol=1e-3)
+
+
+def test_fused_vb_estep_matches_plain():
+    """Fused VB E-step statistics and the in-kernel log_q_Z reduction must
+    match the plain XLA E-step (and the bound computed from either)."""
+    from pypmc_tpu.mix_adapt import variational as vb
+
+    n, kk = 1536, 4
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 2, size=(n, D)).astype(np.float32)
+    w = np.abs(rng.normal(1.0, 0.3, size=n)).astype(np.float32)
+    w = w * (n / w.sum())
+    alpha = jnp.asarray(np.abs(rng.normal(2, 0.5, kk)).astype(np.float32))
+    beta = jnp.asarray(np.abs(rng.normal(3, 0.5, kk)).astype(np.float32))
+    nu = jnp.asarray((D + np.abs(rng.normal(3, 1, kk))).astype(np.float32))
+    m = jnp.asarray(rng.normal(0, 2, size=(kk, D)).astype(np.float32))
+    a = rng.normal(0, 0.2, size=(kk, D, D)).astype(np.float32)
+    W = jnp.asarray((np.eye(D)[None] * 0.5
+                     + np.einsum("kij,klj->kil", a, a)).astype(np.float32))
+    log_det_W = jnp.asarray(np.linalg.slogdet(np.asarray(W))[1].astype(np.float32))
+
+    plain = vb._vb_e_step(jnp.asarray(x), jnp.asarray(w), alpha, beta, nu,
+                          m, W, log_det_W)
+    fused = vb._vb_e_step_fused(jnp.asarray(x.T.copy()), jnp.asarray(w),
+                                alpha, beta, nu, m, W, log_det_W)
+
+    assert np.allclose(np.asarray(fused.N_comp), np.asarray(plain.N_comp),
+                       rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(fused.x_mean_comp), np.asarray(plain.x_mean_comp),
+                       rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(fused.S), np.asarray(plain.S),
+                       rtol=5e-3, atol=1e-3)
+    # in-kernel entropy reduction vs the explicit (N, K) einsum
+    ref_qz = float(jnp.einsum("n,nk,nk", jnp.asarray(w), plain.r, plain.log_rho))
+    assert np.isclose(float(fused.log_q_Z), ref_qz, rtol=1e-3)
+
+    # bound from either representation agrees
+    hyper = dict(alpha0=alpha * 0 + 1e-5, beta0=alpha * 0 + 1e-5,
+                 nu0=alpha * 0 + D + 1.0, m0=m * 0,
+                 inv_W0=jnp.tile(jnp.eye(D, dtype=jnp.float32), (kk, 1, 1)),
+                 log_det_W0=alpha * 0)
+    args = (alpha, beta, nu, m, W, log_det_W, hyper["alpha0"], hyper["beta0"],
+            hyper["nu0"], hyper["m0"], hyper["inv_W0"], hyper["log_det_W0"])
+    b_plain = float(vb._vb_bound(jnp.asarray(w), plain, *args))
+    b_fused = float(vb._vb_bound(jnp.asarray(w), fused, *args))
+    assert np.isclose(b_fused, b_plain, rtol=1e-4)
+
+
+def test_gaussian_inference_fused_path(monkeypatch):
+    """GaussianInference with the fused E-step forced: run() converges to
+    the same posterior as the plain path, and accessing ``.r`` lazily
+    materializes the (N, K) responsibilities."""
+    from pypmc_tpu.mix_adapt import variational as vb
+
+    n = 1500
+    rng = np.random.default_rng(5)
+    x = np.vstack([rng.normal(-2, 0.5, size=(n // 2, D)),
+                   rng.normal(2, 0.5, size=(n // 2, D))]).astype(np.float32)
+
+    plain = vb.GaussianInference(x, components=3, nu=np.full(3, D + 1.0))
+    plain.run(40, prune=0.0)
+
+    monkeypatch.setattr(core, "use_pallas", lambda arr: True)
+    fused = vb.GaussianInference(x, components=3, nu=np.full(3, D + 1.0))
+    assert fused._fused_eligible()
+    assert fused._e.r is None  # reduced representation
+    fused.run(40, prune=0.0)
+
+    assert np.allclose(np.asarray(fused.N_comp), np.asarray(plain.N_comp),
+                       rtol=5e-3, atol=5e-2)
+    assert np.allclose(np.asarray(fused.m), np.asarray(plain.m),
+                       rtol=5e-3, atol=5e-3)
+    # lazy materialization of the full responsibility matrix
+    r = fused.r
+    assert r.shape == (n, 3)
+    assert np.allclose(np.asarray(jnp.sum(r, axis=1)), 1.0, atol=1e-5)
