@@ -105,7 +105,7 @@ def main():
     for tname, p_in in [("gauss", gparams), ("student_t", params)]:
         fused = pmc_update(p_in, samples, weights)
         saved = core.use_pallas
-        core.use_pallas = lambda arr: False
+        core.use_pallas = lambda arr, *a, **k: False
         pmc_update.clear_cache()
         try:
             plain = pmc_update(p_in, samples, weights)

@@ -37,20 +37,38 @@ from ..ops.linalg import chol_inv_det, symmetrize
 from ..ops.lse import logsumexp
 
 
-def use_pallas(x) -> bool:
+def use_pallas(x, K=None, dim=None) -> bool:
     """Whether the fused Pallas TPU kernels should be used for arrays like
     ``x``: TPU backend, float32, and not disabled via the
-    ``PYPMC_TPU_DISABLE_PALLAS`` environment variable.  The XLA path remains
-    the reference implementation (used on CPU and for float64)."""
+    ``PYPMC_TPU_DISABLE_PALLAS`` environment variable.  When the mixture
+    size ``(K, dim)`` is given, additionally require that it fits the
+    kernels' VMEM budget at the minimum particle tile
+    (:func:`pypmc_tpu.ops.pallas_kernels.fits_vmem`) -- very large ``K*D``
+    mixtures take the unfused XLA path instead of failing at compile time.
+    The XLA path remains the reference implementation (used on CPU and for
+    float64)."""
     if os.environ.get("PYPMC_TPU_DISABLE_PALLAS"):
         return False
-    return jax.default_backend() == "tpu" and x.dtype == jnp.float32
+    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+        return False
+    if K is not None:
+        from ..ops.pallas_kernels import fits_vmem
+
+        if not fits_vmem(K, dim):
+            return False
+    return True
 
 
 def _pallas_operands(params: "MixtureParams", matrix_field: str):
     """Pack stacked parameters into the layout the Pallas kernels expect:
     ``a2 (K*D, D)``, ``b2 (K*D, 1)``, ``log_norm (K, 1)``, ``weights (K, 1)``,
-    ``dof (K, 1) | None``."""
+    ``dof (K, 1) | None``, ``center (D,)``.
+
+    ``center`` is the mixture's weighted mean -- the kernels subtract it
+    from the particles before their split-precision matmuls so evaluation
+    accuracy is translation-invariant (the ~2^-16 relative matmul error
+    scales with the whitened spread around the mixture, not with the raw
+    coordinate magnitude)."""
     K, D = params.means.shape
     m = getattr(params, matrix_field)  # (K, D, D); inv_chol or chol
     a2 = m.reshape(K * D, D)
@@ -58,7 +76,9 @@ def _pallas_operands(params: "MixtureParams", matrix_field: str):
     log_norm = log_normalization(params).reshape(K, 1)
     weights = params.weights.reshape(K, 1)
     dof = None if params.dof is None else params.dof.reshape(K, 1)
-    return a2, b2, log_norm, weights, dof
+    center = jnp.einsum("k,kd->d", params.weights, params.means,
+                        precision="highest")
+    return a2, b2, log_norm, weights, dof, center
 
 __all__ = [
     "MixtureParams",
@@ -184,11 +204,11 @@ def mahalanobis_all_T(params: MixtureParams, xT) -> jax.Array:
     """``(K, N)`` squared Mahalanobis distances for transposed particles
     ``xT (D, N)``; fused Pallas pass on TPU/float32, XLA einsum otherwise."""
     xT = jnp.asarray(xT)
-    if use_pallas(xT) and xT.shape[1] >= 1024:
+    if use_pallas(xT, params.K, params.dim) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_maha
 
-        a2, b2, _, _, _ = _pallas_operands(params, "inv_chol")
-        return fused_maha(xT, a2, b2, dim=params.dim)
+        a2, b2, _, _, _, center = _pallas_operands(params, "inv_chol")
+        return fused_maha(xT, a2, b2, center, dim=params.dim)
     return mahalanobis(xT.T, params.means, params.inv_chol).T
 
 
@@ -223,11 +243,12 @@ def mixture_logpdf_T(params: MixtureParams, xT) -> jax.Array:
     (``mixture.pyx:101-110``) in a single Pallas kernel on TPU/float32.
     """
     xT = jnp.asarray(xT)
-    if use_pallas(xT) and xT.shape[1] >= 1024:
+    if use_pallas(xT, params.K, params.dim) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_logq
 
-        a2, b2, log_norm, weights, dof = _pallas_operands(params, "inv_chol")
-        return fused_logq(xT, a2, b2, log_norm, weights, dof, dim=params.dim)
+        a2, b2, log_norm, weights, dof, center = _pallas_operands(params, "inv_chol")
+        return fused_logq(xT, a2, b2, log_norm, weights, dof, center,
+                          dim=params.dim)
     return logsumexp(component_logpdfs(params, xT.T), params.weights, axis=-1)
 
 
@@ -259,7 +280,7 @@ def propose_T(params: MixtureParams, key, n: int):
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
     fused_rng = (
-        use_pallas(zT) and n >= 1024
+        use_pallas(zT, params.K, params.dim) and n >= 1024
         and not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
     )
 
@@ -273,7 +294,7 @@ def propose_T(params: MixtureParams, key, n: int):
     else:
         scale = jnp.ones((n,), dtype=dtype)
 
-    if use_pallas(zT) and n >= 1024:
+    if use_pallas(zT, params.K, params.dim) and n >= 1024:
         # fused transform: the per-particle (D, D) parameter select happens
         # in VMEM instead of an (N, D, D) gather in HBM
         ct2 = params.chol.reshape(params.K * params.dim, params.dim)
@@ -288,8 +309,10 @@ def propose_T(params: MixtureParams, key, n: int):
             # already).
             from ..ops.pallas_kernels import fused_transform_rng
 
+            # TWO 32-bit seed words from the key: cross-step stream
+            # collisions become ~2^-64 instead of the 32-bit birthday bound
             seed = jax.lax.bitcast_convert_type(
-                jax.random.bits(k_norm, (), "uint32"), jnp.int32
+                jax.random.bits(k_norm, (2,), "uint32"), jnp.int32
             )
             dof2 = None if params.dof is None else params.dof.reshape(1, params.K)
             samples_T = fused_transform_rng(
@@ -330,8 +353,9 @@ def propose_logq_T(params: MixtureParams, key, n: int, target_params=None):
     this composes :func:`propose_T` and :func:`mixture_logpdf_T` (same
     distribution and values, separate passes).
     """
+    k_total = params.K + (0 if target_params is None else target_params.K)
     fused = (
-        use_pallas(params.means) and n >= 1024
+        use_pallas(params.means, k_total, params.dim) and n >= 1024
         and not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
     )
     if not fused:
@@ -344,20 +368,22 @@ def propose_logq_T(params: MixtureParams, key, n: int, target_params=None):
     from ..ops.pallas_kernels import fused_propose_logq
 
     # ALL randomness (component choice included) is drawn in-kernel from
-    # the hardware PRNG; the jax key only provides the seed
+    # the hardware PRNG; the jax key only provides the seed (TWO 32-bit
+    # words, so cross-step stream collisions are ~2^-64)
     seed = jax.lax.bitcast_convert_type(
-        jax.random.bits(key, (), "uint32"), jnp.int32
+        jax.random.bits(key, (2,), "uint32"), jnp.int32
     )
     cumw = jnp.cumsum(params.weights).reshape(params.K, 1)
     ct2 = params.chol.reshape(params.K * params.dim, params.dim)
-    a2, b2, log_norm, weights, dof_col = _pallas_operands(params, "inv_chol")
+    a2, b2, log_norm, weights, dof_col, center = _pallas_operands(params, "inv_chol")
     dof_row = None if params.dof is None else params.dof.reshape(1, params.K)
     target = None
     if target_params is not None:
         target = _pallas_operands(target_params, "inv_chol")
     return fused_propose_logq(
         seed, cumw, ct2, params.means.T, dof_row,
-        a2, b2, log_norm, weights, dof_col, target, n=n, dim=params.dim,
+        a2, b2, log_norm, weights, dof_col, center, target,
+        n=n, dim=params.dim,
     )
 
 

@@ -50,11 +50,12 @@ def calculate_rho_rb_T(params: _core.MixtureParams, samples_T) -> jax.Array:
     as a single fused Pallas pass over the particles.
     """
     samples_T = jnp.asarray(samples_T)
-    if _core.use_pallas(samples_T) and samples_T.shape[1] >= 1024:
+    if _core.use_pallas(samples_T, params.K, params.dim) and samples_T.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_rho
 
-        a2, b2, log_norm, weights, dof = _core._pallas_operands(params, "inv_chol")
-        rho, _ = fused_rho(samples_T, a2, b2, log_norm, weights, dof, dim=params.dim)
+        a2, b2, log_norm, weights, dof, center = _core._pallas_operands(params, "inv_chol")
+        rho, _ = fused_rho(samples_T, a2, b2, log_norm, weights, dof, center,
+                           dim=params.dim)
         return rho
     logpdfs = _core.component_logpdfs(params, samples_T.T)  # (N, K)
     log_denom = logsumexp(logpdfs, params.weights, axis=-1)
@@ -95,8 +96,19 @@ def _cov_sums_T(samples_T, c_T, mu):
 
 
 class PMCResult(NamedTuple):
+    """Result of one :func:`pmc_update`.
+
+    ``rho`` holds the ``(K, N)`` responsibilities (transposed layout), or
+    **None** when the update ran on the fused single-pass TPU path (the
+    production path for ``rb=True`` with N >= 1024 on TPU/float32): there the
+    responsibilities are reduced tile-by-tile in VMEM and never materialized.
+    Callers that need them can recompute with
+    :func:`calculate_rho_rb_T(params, samples_T)` on the PRE-update
+    parameters (identical values, one extra pass)."""
+
     params: _core.MixtureParams
-    rho: jax.Array            # (K, N) responsibilities (transposed layout)
+    rho: Optional[jax.Array]  # (K, N) responsibilities (transposed layout),
+    #                           or None on the fused single-pass TPU path
     updated_ok: jax.Array     # (K,) bool; updated components that stayed valid
     live: jax.Array           # (K,) bool; live components before the update
 
@@ -184,7 +196,7 @@ def pmc_update(
         # known Cholesky factors.
         from ..ops.pallas_kernels import fused_pmc_stats
 
-        a2, b2, log_norm, wk, dof_col = _core._pallas_operands(params, "inv_chol")
+        a2, b2, log_norm, wk, dof_col, _ = _core._pallas_operands(params, "inv_chol")
         psi_c = None
         if dof_stats:
             psi_c = jax.scipy.special.digamma(

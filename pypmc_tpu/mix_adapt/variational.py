@@ -145,14 +145,15 @@ def _bilinear_with_W(x, m, W):
     chol_W = jnp.linalg.cholesky(W)  # (K, D, D)
     K, D, _ = W.shape
 
-    if _dcore.use_pallas(x) and x.shape[0] >= 1024:
+    if _dcore.use_pallas(x, K, D) and x.shape[0] >= 1024:
         from ..ops.pallas_kernels import fused_maha
 
         # fused_maha computes ||A_k x - A_k m_k||^2 with A_k stacked in
-        # a2 (K*D, D); here A_k = C_k^T
+        # a2 (K*D, D); here A_k = C_k^T.  Centering on the mean of the m_k
+        # keeps the kernel's split-precision error translation-invariant.
         a2 = jnp.transpose(chol_W, (0, 2, 1)).reshape(K * D, D)
         b2 = jnp.einsum("kd,kdi->ki", m, chol_W, precision="highest").reshape(K * D, 1)
-        return fused_maha(x.T, a2, b2, dim=D).T
+        return fused_maha(x.T, a2, b2, jnp.mean(m, axis=0), dim=D).T
 
     def per_k(args):
         cw, mk = args

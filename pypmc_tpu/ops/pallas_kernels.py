@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
            "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
            "fused_vb_estep",
-           "pick_tile"]
+           "pick_tile", "fits_vmem"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
@@ -59,14 +59,31 @@ def _pad8(n):
     return (n + 7) // 8 * 8
 
 
-def pick_tile(K: int, D: int, vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
-    """Particle-tile (lane) size: the per-lane VMEM cost is a handful of
-    (pad8(K*D), TN), (pad8(K), TN) and (pad8(D), TN) buffers.
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _bytes_per_lane(K: int, D: int) -> int:
+    """Per-particle-lane VMEM cost estimate: a handful of (pad8(K*D), TN),
+    (pad8(K), TN) and (pad8(D), TN) float32 buffers."""
+    return 4 * (3 * _pad8(K * D) + 3 * _pad8(K) + 3 * _pad8(D))
+
+
+def fits_vmem(K: int, D: int, vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
+    """Whether a (K, D) mixture fits the kernels' VMEM budget at the MINIMUM
+    particle tile (1024 lanes; tiles must be multiples of 1024 for the
+    :func:`_rows8` relayout).  Callers must fall back to the unfused XLA
+    path when this is False instead of calling the fused kernels."""
+    return _bytes_per_lane(K, D) * 1024 <= vmem_budget_bytes
+
+
+def pick_tile(K: int, D: int, vmem_budget_bytes: int = _VMEM_BUDGET) -> int:
+    """Particle-tile (lane) size (see :func:`_bytes_per_lane`).
 
     Multiples of 1024 so a tile can be relayouted to 8 sublane rows of
-    128-aligned lanes (see :func:`_rows8`)."""
-    bytes_per_lane = 4 * (3 * _pad8(K * D) + 3 * _pad8(K) + 3 * _pad8(D))
-    tn = vmem_budget_bytes // max(1, bytes_per_lane)
+    128-aligned lanes (see :func:`_rows8`); callers must gate on
+    :func:`fits_vmem` first -- mixtures too large for the minimum tile
+    belong on the unfused path."""
+    tn = vmem_budget_bytes // max(1, _bytes_per_lane(K, D))
     tn = max(1024, min(16384, int(tn)))
     return (tn // 1024) * 1024
 
@@ -170,26 +187,47 @@ def _pos_selector(dim, kd, dtype):
     return (rows == cols).astype(dtype)
 
 
-def _aug_eval_operand(a2, b2):
+def _aug_eval_operand(a2, b2, center=None):
     """XLA-side prep: fold the projected means into the projection matrix,
-    ``a_aug (K*D, D+1) = [a2 | b2]`` -- the kernel then gets the centered
-    projection from ONE matmul against ``[x; -1]``."""
+    ``a_aug (K*D, D+1) = [a2 | b2']`` -- the kernel then gets the centered
+    projection from ONE matmul against ``[x - c; -1]``.
+
+    ``center (D,)`` shifts the coordinate origin: the kernels subtract it
+    from every particle BEFORE the split-precision matmul and ``b2`` is
+    re-projected accordingly (``b2' = b2 - a2 @ c``, exact linear algebra).
+    With ``c`` = the mixture's weighted mean, the ~2^-16 relative matmul
+    error scales with ``|U_k (x - c)|`` (the whitened spread of the data
+    around the mixture) instead of ``|U_k x|`` -- making the fused
+    evaluations translation-invariant in accuracy."""
+    if center is not None:
+        b2 = b2 - jnp.einsum("id,d->i", a2, center,
+                             precision="highest")[:, None]
     return jnp.concatenate([a2, b2], axis=1)
 
 
-def _component_logpdfs_tile(x, a_aug, log_norm, dof, dim):
+def _center_or_zero(center, dim, dtype):
+    """XLA-side: (D, 1) centering column for the kernels (zeros if None)."""
+    if center is None:
+        return jnp.zeros((dim, 1), dtype=dtype)
+    return center.reshape(dim, 1).astype(dtype)
+
+
+def _component_logpdfs_tile(x, c, a_aug, log_norm, dof, dim):
     """(K, TN) component log-densities from a (D, TN) tile.
 
     ``a_aug (K*D, D+1)`` stacks the inverse-Cholesky factors with the
-    projected means appended as the last column (:func:`_aug_eval_operand`);
-    the Mahalanobis distances come from one streaming MXU matmul against
-    ``[x; -1]`` plus a selector contraction.
+    re-projected means appended as the last column
+    (:func:`_aug_eval_operand`); ``c (D, 1)`` is the coordinate center
+    subtracted from the tile first, so the Mahalanobis distances come from
+    one streaming MXU matmul against ``[x - c; -1]`` plus a selector
+    contraction, with split-precision error scaling with the CENTERED
+    residual.
     """
     kd = a_aug.shape[0]
     K = kd // dim
     tn = x.shape[1]
     x_aug = jnp.concatenate(
-        [x, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
+        [x - c, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
     diff = _dot_val(a_aug, x_aug)        # (K*D, TN), already centered
     seg = _block_selector(K, kd, dim, x.dtype)
     maha = _dot_acc(seg, diff * diff)    # (K, TN)
@@ -205,18 +243,20 @@ def _weighted_lse(ind, w):
     return jnp.log(s) + m  # (1, TN)
 
 
-def _logq_kernel(x_ref, a_ref, ln_ref, w_ref, dof_ref, out_ref, *,
+def _logq_kernel(x_ref, c_ref, a_ref, ln_ref, w_ref, dof_ref, out_ref, *,
                  dim, student_t):
     dof = dof_ref[:] if student_t else None
-    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], ln_ref[:], dof, dim)
+    ind = _component_logpdfs_tile(x_ref[:], c_ref[:], a_ref[:], ln_ref[:],
+                                  dof, dim)
     out_ref[:] = _weighted_lse(ind, w_ref[:])
 
 
-def _rho_kernel(x_ref, a_ref, ln_ref, w_ref, dof_ref,
+def _rho_kernel(x_ref, c_ref, a_ref, ln_ref, w_ref, dof_ref,
                 rho_ref, logq_ref, *, dim, student_t, tiny):
     dof = dof_ref[:] if student_t else None
     w = w_ref[:]
-    ind = _component_logpdfs_tile(x_ref[:], a_ref[:], ln_ref[:], dof, dim)
+    ind = _component_logpdfs_tile(x_ref[:], c_ref[:], a_ref[:], ln_ref[:],
+                                  dof, dim)
     lse = _weighted_lse(ind, w)
     # reference formula (pmc.pyx:37-41): exp(ind) * w / (exp(lse) + tiny)
     rho = jnp.exp(ind) * w / (jnp.exp(lse) + tiny)
@@ -224,12 +264,13 @@ def _rho_kernel(x_ref, a_ref, ln_ref, w_ref, dof_ref,
     logq_ref[:] = lse
 
 
-def _maha_kernel(x_ref, a_ref, out_ref, *, dim):
+def _maha_kernel(x_ref, c_ref, a_ref, out_ref, *, dim):
     kd = a_ref.shape[0]
     K = kd // dim
     tn = x_ref.shape[1]
     x_aug = jnp.concatenate(
-        [x_ref[:], jnp.full((1, tn), -1.0, dtype=x_ref.dtype)], axis=0)
+        [x_ref[:] - c_ref[:], jnp.full((1, tn), -1.0, dtype=x_ref.dtype)],
+        axis=0)
     diff = _dot_val(a_ref[:], x_aug)
     seg = _block_selector(K, kd, dim, diff.dtype)
     out_ref[:] = _dot_acc(seg, diff * diff)
@@ -390,13 +431,27 @@ def _onehot_from_latent(lat, n_comp, tn):
     return (lat == ks).astype(jnp.float32)
 
 
+def _seed2(seed):
+    """Normalize a seed to TWO int32 words (zero-extended if one was given):
+    64 seed bits make cross-step hardware-PRNG stream collisions ~2^-64
+    instead of the 32-bit birthday bound of ~n^2/2^33."""
+    seed = jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.int32))
+    if seed.shape[0] < 2:
+        seed = jnp.concatenate(
+            [seed, jnp.zeros((2 - seed.shape[0],), jnp.int32)])
+    return seed[:2]
+
+
 def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
                           dof_ref, out_ref, *, dim, n_comp, student_t):
     """In-kernel-RNG mixture proposal transform (see :func:`_propose_tile`).
-    Each grid step reseeds with (seed, program_id) so tiles draw independent
-    streams; results are deterministic for a fixed seed and tile size."""
+    Each grid step reseeds with 64 bits (two 32-bit words from the jax key;
+    Mosaic accepts at most two seed values, so the program id is folded
+    into the second word) -- tiles draw independent streams, cross-step
+    seed collisions are ~2^-64, and results are deterministic for a fixed
+    seed and tile size."""
     tn = out_ref.shape[1]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
     onehot = _onehot_from_latent(lat_ref[:], n_comp, tn)
     scale = None if student_t else scale_ref[:]
     out_ref[:] = _propose_tile(
@@ -405,7 +460,7 @@ def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
 
 
 def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
-                         dof_ref, a_ref, ln_ref, w_ref, dofc_ref,
+                         dof_ref, c_ref, a_ref, ln_ref, w_ref, dofc_ref,
                          *refs, dim, n_comp, student_t, t_student_t,
                          has_target):
     """Fused propose -> proposal log-q [-> mixture-target log-p] kernel.
@@ -418,12 +473,15 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
     resident in VMEM -- the evaluation passes never re-read the samples
     from HBM, and the whole importance-sampling step becomes one kernel."""
     if has_target:
-        ta_ref, tln_ref, tw_ref, tdof_ref = refs[:4]
-        out_ref, lat_ref, logq_ref, logp_ref = refs[4:]
+        tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref = refs[:5]
+        out_ref, lat_ref, logq_ref, logp_ref = refs[5:]
     else:
         out_ref, lat_ref, logq_ref = refs
     tn = out_ref.shape[1]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    # 64-bit reseed per tile (Mosaic caps prng_seed at two values, so the
+    # program id is folded into the second word -- distinct per tile for a
+    # fixed key, ~2^-64 collision odds across steps)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
     # inverse-CDF categorical: latent = sum_{k<K-1} [u >= cumw_k]; dead
     # components (weight 0) have an empty interval and are never drawn
     u = _kernel_uniform((1, tn), offset=0)
@@ -439,11 +497,12 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
         dim=dim, n_comp=n_comp, tn=tn, student_t=student_t)
     out_ref[:] = x
     dofc = dofc_ref[:] if student_t else None
-    ind = _component_logpdfs_tile(x, a_ref[:], ln_ref[:], dofc, dim)
+    ind = _component_logpdfs_tile(x, c_ref[:], a_ref[:], ln_ref[:], dofc, dim)
     logq_ref[:] = _weighted_lse(ind, w_ref[:])
     if has_target:
         tdof = tdof_ref[:] if t_student_t else None
-        t_ind = _component_logpdfs_tile(x, ta_ref[:], tln_ref[:], tdof, dim)
+        t_ind = _component_logpdfs_tile(x, tc_ref[:], ta_ref[:], tln_ref[:],
+                                        tdof, dim)
         logp_ref[:] = _weighted_lse(t_ind, tw_ref[:])
 
 
@@ -460,7 +519,7 @@ def _lane_spec(rows, tile):
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_logq(xT, a2, b2, log_norm, weights, dof, *, dim):
+def fused_logq(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
     """Mixture log-density ``(N,)`` for transposed points ``xT (D, N)``.
 
     :param a2: ``(K*D, D)`` with ``a2[k*D+i, d] = U_k[i, d]`` (U = inverse
@@ -469,6 +528,9 @@ def fused_logq(xT, a2, b2, log_norm, weights, dof, *, dim):
     :param log_norm: ``(K, 1)`` per-component log-normalizations.
     :param weights: ``(K, 1)`` linear component weights (0 = dead).
     :param dof: ``(K, 1)`` degrees of freedom, or None for Gaussian.
+    :param center: ``(D,)`` coordinate center (e.g. the mixture's weighted
+        mean) subtracted in-kernel so the split-precision matmul error is
+        translation-invariant; None = origin.
     """
     kd = a2.shape[0]
     K = kd // dim
@@ -478,23 +540,24 @@ def fused_logq(xT, a2, b2, log_norm, weights, dof, *, dim):
     student_t = dof is not None
     if dof is None:
         dof = jnp.zeros((K, 1), dtype=xT.dtype)
+    c = _center_or_zero(center, dim, xT.dtype)
 
     out = pl.pallas_call(
         functools.partial(_logq_kernel, dim=dim, student_t=student_t),
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
-            *_small_specs([(kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
+            *_small_specs([(dim, 1), (kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
         ],
         out_specs=_lane_spec(1, tile),
         out_shape=jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(xT, _aug_eval_operand(a2, b2), log_norm, weights, dof)
+    )(xT, c, _aug_eval_operand(a2, b2, center), log_norm, weights, dof)
     return out[0, :n_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
+def fused_rho(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
     """Rao-Blackwellized responsibilities ``rho (K, N)`` and mixture
     log-density ``(N,)`` in one fused pass (arguments as
     :func:`fused_logq`)."""
@@ -507,13 +570,14 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
     if dof is None:
         dof = jnp.zeros((K, 1), dtype=xT.dtype)
     tiny = float(jnp.finfo(xT.dtype).tiny)
+    c = _center_or_zero(center, dim, xT.dtype)
 
     rho, logq = pl.pallas_call(
         functools.partial(_rho_kernel, dim=dim, student_t=student_t, tiny=tiny),
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
-            *_small_specs([(kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
+            *_small_specs([(dim, 1), (kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
         ],
         out_specs=[_lane_spec(K, tile), _lane_spec(1, tile)],
         out_shape=[
@@ -521,12 +585,12 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, *, dim):
             jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         ],
         interpret=INTERPRET,
-    )(xT, _aug_eval_operand(a2, b2), log_norm, weights, dof)
+    )(xT, c, _aug_eval_operand(a2, b2, center), log_norm, weights, dof)
     return rho[:, :n_orig], logq[0, :n_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
-def fused_maha(xT, a2, b2, *, dim):
+def fused_maha(xT, a2, b2, center=None, *, dim):
     """``(K, N)`` squared Mahalanobis distances (arguments as
     :func:`fused_logq`)."""
     kd = a2.shape[0]
@@ -534,15 +598,17 @@ def fused_maha(xT, a2, b2, *, dim):
     tile = pick_tile(K, dim)
     xT, n_orig = _pad_lanes(xT, tile)
     grid = xT.shape[1] // tile
+    c = _center_or_zero(center, dim, xT.dtype)
 
     out = pl.pallas_call(
         functools.partial(_maha_kernel, dim=dim),
         grid=(grid,),
-        in_specs=[_lane_spec(dim, tile), *_small_specs([(kd, dim + 1)])],
+        in_specs=[_lane_spec(dim, tile),
+                  *_small_specs([(dim, 1), (kd, dim + 1)])],
         out_specs=_lane_spec(K, tile),
         out_shape=jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
         interpret=INTERPRET,
-    )(xT, _aug_eval_operand(a2, b2))
+    )(xT, c, _aug_eval_operand(a2, b2, center))
     return out[:, :n_orig]
 
 
@@ -555,7 +621,8 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
     with the chi-square ALSO drawn in-kernel (Marsaglia-Tsang; the ``scale``
     argument is then ignored).
 
-    :param seed: int32 scalar seed (derive from a jax key).
+    :param seed: int32 seed, scalar or ``(2,)`` (derive TWO words from a jax
+        key; a single word is zero-extended).
     :param latent, scale, ct2, mu2: as :func:`fused_transform`.
     :param dof: ``(1, K)`` degrees of freedom, or None for Gaussian.
     """
@@ -566,7 +633,7 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
     lat2, n_orig = _pad_lanes(latent[None, :].astype(jnp.int32), tile)
     scale2, _ = _pad_lanes(scale[None, :], tile)
     grid = lat2.shape[1] // tile
-    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    seed = _seed2(seed)
     student_t = dof is not None
     if dof is None:
         dof = jnp.ones((1, K), dtype=scale.dtype)
@@ -590,8 +657,8 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
 
 @functools.partial(jax.jit, static_argnames=("n", "dim"))
 def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
-                       a2, b2, log_norm, weights, dof_col, target=None, *,
-                       n, dim):
+                       a2, b2, log_norm, weights, dof_col, center=None,
+                       target=None, *, n, dim):
     """ONE kernel for the whole importance-sampling hot path: draw the
     per-particle component (inverse-CDF on the hardware PRNG), draw the
     mixture proposal tile (see :func:`fused_transform_rng`), evaluate the
@@ -600,15 +667,19 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     are written to HBM exactly once and never re-read, and no XLA-side
     threefry pass over N is needed at all.
 
-    :param seed: int32 scalar seed (derive from a jax key).
+    :param seed: int32 seed, scalar or ``(2,)`` (derive TWO words from a jax
+        key; a single word is zero-extended).
     :param cumw: ``(K, 1)`` cumulative component weights.
     :param ct2, mu2: transform operands as :func:`fused_transform`.
     :param dof_row: ``(1, K)`` proposal dofs or None (Gaussian).
     :param a2, b2, log_norm, weights, dof_col: proposal evaluation operands
         as :func:`fused_logq` (``dof_col`` is ``(K, 1)`` or None).
+    :param center: ``(D,)`` evaluation center for the proposal mixture
+        (see :func:`fused_logq`), or None.
     :param target: None, or a tuple ``(ta2, tb2, tlog_norm, tweights,
-        tdof_col)`` of the same evaluation operands for a target mixture
-        over the same dimension (``tdof_col`` None for a Gaussian target).
+        tdof_col, tcenter)`` of the same evaluation operands for a target
+        mixture over the same dimension (``tdof_col`` None for a Gaussian
+        target, ``tcenter`` the target's own evaluation center or None).
     :param n: number of particles to draw (static).
     :returns: ``(samples_T (D, n), latent (n,) int32, log_q (n,))`` and
         additionally ``log_p (n,)`` when ``target`` is given.
@@ -619,7 +690,7 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     tile = pick_tile(K + kt, dim)
     n_pad = (n + tile - 1) // tile * tile
     grid = n_pad // tile
-    seed = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    seed = _seed2(seed)
     dtype = ct2.dtype
     student_t = dof_row is not None
     if dof_row is None:
@@ -627,10 +698,11 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
         dof_col = jnp.ones((K, 1), dtype=dtype)
 
     operands = [seed, cumw, ct2, mu2, dof_row,
-                _aug_eval_operand(a2, b2), log_norm, weights, dof_col]
+                _center_or_zero(center, dim, dtype),
+                _aug_eval_operand(a2, b2, center), log_norm, weights, dof_col]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        *_small_specs([(K, 1), (kd, dim), (dim, K), (1, K),
+        *_small_specs([(K, 1), (kd, dim), (dim, K), (1, K), (dim, 1),
                        (kd, dim + 1), (K, 1), (K, 1), (K, 1)]),
     ]
     out_specs = [_lane_spec(dim, tile), _lane_spec(1, tile),
@@ -641,12 +713,13 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     has_target = target is not None
     t_student_t = False
     if has_target:
-        ta2, tb2, tln, tw, tdof = target
+        ta2, tb2, tln, tw, tdof, tcenter = target
         t_student_t = tdof is not None
         if tdof is None:
             tdof = jnp.ones((kt, 1), dtype=dtype)
-        operands += [_aug_eval_operand(ta2, tb2), tln, tw, tdof]
-        in_specs += _small_specs([(kt * dim, dim + 1),
+        operands += [_center_or_zero(tcenter, dim, dtype),
+                     _aug_eval_operand(ta2, tb2, tcenter), tln, tw, tdof]
+        in_specs += _small_specs([(dim, 1), (kt * dim, dim + 1),
                                   (kt, 1), (kt, 1), (kt, 1)])
         out_specs.append(_lane_spec(1, tile))
         out_shape.append(jax.ShapeDtypeStruct((1, n_pad), dtype))

@@ -25,13 +25,39 @@ from ..tools.indicator import merge_function_with_indicator as _indmerge
 from .._rng import as_jax_key
 from .mesh import PARTICLE_AXIS, particle_mesh
 
-__all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded", "PMCStepStats"]
+__all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded",
+           "PMCStepStats", "clear_step_cache"]
 
-# compiled-step cache for pmc_run_sharded, keyed on everything the trace
-# depends on (incl. the target function object itself; entries pin their
-# targets alive, which is fine for the long-lived pipeline functions this
-# API is built for)
-_STEP_CACHE = {}
+# Compiled-step LRU cache, keyed on everything the trace depends on (incl.
+# the target function object itself).  Bounded: entries pin their targets
+# and compiled executables alive, so callers passing many ephemeral
+# lambdas/closures evict the oldest instead of leaking for the process
+# lifetime.  Re-tracing an evicted step only costs the (cached) jax trace;
+# the XLA executable cache underneath is managed by jax itself.
+from collections import OrderedDict as _OrderedDict
+
+_STEP_CACHE = _OrderedDict()
+_STEP_CACHE_MAX = 32
+
+
+def _step_cache_get(key):
+    step = _STEP_CACHE.get(key)
+    if step is not None:
+        _STEP_CACHE.move_to_end(key)
+    return step
+
+
+def _step_cache_put(key, step):
+    _STEP_CACHE[key] = step
+    _STEP_CACHE.move_to_end(key)
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
+
+
+def clear_step_cache():
+    """Drop all cached compiled sharded steps (releases the target callables
+    and executables they pin)."""
+    _STEP_CACHE.clear()
 
 
 def _is_body(params, key, n_local, target):
@@ -66,9 +92,8 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     n_local = n_total // n_dev
 
     cache_key = ("is_step", target, mesh, n_local, axis_name)
-    if cache_key in _STEP_CACHE:
-        step = _STEP_CACHE[cache_key]
-    else:
+    step = _step_cache_get(cache_key)
+    if step is None:
         # check_vma=False: the Pallas kernels' out_shape carries no
         # varying-manual-axes annotation, which the shard_map replication
         # checker (correctly) refuses; replication correctness is covered by
@@ -85,7 +110,7 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
             return _is_body(params, my_key, n_local, target)
 
         step = jax.jit(step)
-        _STEP_CACHE[cache_key] = step
+        _step_cache_put(cache_key, step)
 
     return step(params, key)
 
@@ -187,9 +212,8 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
             "return_final_samples is not available with scan_steps=True"
         )
 
-        if cache_key in _STEP_CACHE:
-            run_all = _STEP_CACHE[cache_key]
-        else:
+        run_all = _step_cache_get(cache_key)
+        if run_all is None:
             @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
                      out_specs=(P(), P()), check_vma=False)
             def run_all(params, keys):
@@ -200,15 +224,14 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                 return jax.lax.scan(body, params, keys)
 
             run_all = jax.jit(run_all)
-            _STEP_CACHE[cache_key] = run_all
+            _step_cache_put(cache_key, run_all)
 
         keys = jax.random.split(key, n_steps)
         params, stats = run_all(params, keys)
         return params, stats
 
-    if cache_key in _STEP_CACHE:
-        step = _STEP_CACHE[cache_key]
-    else:
+    step = _step_cache_get(cache_key)
+    if step is None:
         step = jax.jit(
             partial(
                 jax.shard_map, mesh=mesh, in_specs=(P(), P()),
@@ -216,7 +239,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                 check_vma=False,
             )(step_body)
         )
-        _STEP_CACHE[cache_key] = step
+        _step_cache_put(cache_key, step)
 
     all_stats = []
     samples = weights = None

@@ -38,8 +38,8 @@ def make_params(student_t):
 @pytest.mark.parametrize("student_t", [False, True])
 def test_fused_logq_matches_xla(student_t):
     params = make_params(student_t)
-    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
-    out = pk.fused_logq(XT, a2, b2, log_norm, weights, dof, dim=D)
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_logq(XT, a2, b2, log_norm, weights, dof, center, dim=D)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(X)), params.weights, axis=-1)
     assert out.shape == (N,)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
@@ -48,8 +48,8 @@ def test_fused_logq_matches_xla(student_t):
 @pytest.mark.parametrize("student_t", [False, True])
 def test_fused_rho_matches_formula(student_t):
     params = make_params(student_t)
-    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
-    rho, logq = pk.fused_rho(XT, a2, b2, log_norm, weights, dof, dim=D)
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params, "inv_chol")
+    rho, logq = pk.fused_rho(XT, a2, b2, log_norm, weights, dof, center, dim=D)
     ind = np.asarray(core.component_logpdfs(params, jnp.asarray(X)))
     lse = np.asarray(logsumexp(ind, params.weights, axis=-1))
     tiny = float(jnp.finfo(jnp.float32).tiny)
@@ -64,8 +64,8 @@ def test_fused_rho_matches_formula(student_t):
 
 def test_fused_maha_matches_xla():
     params = make_params(False)
-    a2, b2, _, _, _ = core._pallas_operands(params, "inv_chol")
-    out = pk.fused_maha(XT, a2, b2, dim=D)
+    a2, b2, _, _, _, center = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_maha(XT, a2, b2, center, dim=D)
     ref = core.mahalanobis(jnp.asarray(X), params.means, params.inv_chol)
     assert out.shape == (K, N)
     assert np.allclose(np.asarray(out), np.asarray(ref).T, rtol=1e-4, atol=1e-4)
@@ -91,9 +91,9 @@ def test_fused_transform_matches_gather():
 def test_padding_non_multiple_tile():
     """N that is not a multiple of the tile size is padded internally."""
     params = make_params(False)
-    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params, "inv_chol")
     n = 777
-    out = pk.fused_logq(XT[:, :n], a2, b2, log_norm, weights, dof, dim=D)
+    out = pk.fused_logq(XT[:, :n], a2, b2, log_norm, weights, dof, center, dim=D)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(X[:n])), params.weights, axis=-1)
     assert out.shape == (n,)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
@@ -109,10 +109,40 @@ def test_odd_shapes_logq(kk, dd):
     params, valid = core.make_mixture(means, covs)
     assert bool(np.asarray(valid).all())
     x = rng.normal(0, 2, size=(700, dd)).astype(np.float32)
-    a2, b2, log_norm, weights, dof = core._pallas_operands(params, "inv_chol")
-    out = pk.fused_logq(jnp.asarray(x.T.copy()), a2, b2, log_norm, weights, dof, dim=dd)
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_logq(jnp.asarray(x.T.copy()), a2, b2, log_norm, weights, dof,
+                        center, dim=dd)
     ref = logsumexp(core.component_logpdfs(params, jnp.asarray(x)), params.weights, axis=-1)
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("shift", [1e3, -4e3])
+def test_fused_logq_translation_invariant(shift):
+    """Evaluation accuracy must not degrade far from the origin: the kernels
+    center on the mixture's weighted mean before the split-precision
+    matmuls, so a rigid translation of mixture + data leaves the error
+    unchanged (regression for the |U_k x|-scaling of the uncentered aug
+    matmul)."""
+    params = make_params(False)
+    ref0 = np.asarray(logsumexp(core.component_logpdfs(params, jnp.asarray(X)),
+                                params.weights, axis=-1))
+
+    means_s = (MEANS + shift).astype(np.float32)
+    x_s = (X + shift).astype(np.float32)
+    params_s, valid = core.make_mixture(means_s, COVS, WEIGHTS)
+    assert bool(np.asarray(valid).all())
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params_s, "inv_chol")
+    out = pk.fused_logq(jnp.asarray(x_s.T.copy()), a2, b2, log_norm, weights,
+                        dof, center, dim=D)
+    # f32 representation of the shifted inputs themselves costs ~|shift|*eps
+    # in the residual; the kernel must not add more than the near-origin
+    # tolerance on top of an XLA HIGHEST reference of the same shifted data
+    ref = logsumexp(core.component_logpdfs(params_s, jnp.asarray(x_s)),
+                    params_s.weights, axis=-1)
+    assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                       atol=2e-3 * max(1.0, abs(shift) / 1e3))
+    # and stays close to the unshifted truth up to f32 input rounding
+    assert np.allclose(np.asarray(ref), ref0, atol=0.2)
 
 
 @pytest.mark.parametrize("student_t", [False, True])
@@ -131,7 +161,7 @@ def test_fused_pmc_stats_matches_xla_update(student_t, monkeypatch):
 
     ref = pmc_mod.pmc_update(params, xT, jnp.asarray(w), transposed=True,
                              dof_solver_steps=60)
-    monkeypatch.setattr(core, "use_pallas", lambda arr: True)
+    monkeypatch.setattr(core, "use_pallas", lambda arr, *a, **k: True)
     pmc_mod.pmc_update.clear_cache()
     try:
         out = pmc_mod.pmc_update(params, xT, jnp.asarray(w), transposed=True,
@@ -162,7 +192,7 @@ def test_fused_pmc_stats_sums():
     x = rng.normal(0, 2, size=(n, D)).astype(np.float32)
     w = np.abs(rng.normal(1.0, 0.3, size=n)).astype(np.float32)
     params = make_params(True)
-    a2, b2, log_norm, wk, dof_col = core._pallas_operands(params, "inv_chol")
+    a2, b2, log_norm, wk, dof_col, _ = core._pallas_operands(params, "inv_chol")
     psi_c = jax.scipy.special.digamma(0.5 * (D + params.dof)).reshape(K, 1)
     stats = fused_pmc_stats(jnp.asarray(x.T.copy()), jnp.asarray(w), a2, b2,
                             log_norm, wk, dof_col, psi_c.astype(jnp.float32),
@@ -257,7 +287,7 @@ def test_gaussian_inference_fused_path(monkeypatch):
     plain = vb.GaussianInference(x, components=3, nu=np.full(3, D + 1.0))
     plain.run(40, prune=0.0)
 
-    monkeypatch.setattr(core, "use_pallas", lambda arr: True)
+    monkeypatch.setattr(core, "use_pallas", lambda arr, *a, **k: True)
     fused = vb.GaussianInference(x, components=3, nu=np.full(3, D + 1.0))
     assert fused._fused_eligible()
     assert fused._e.r is None  # reduced representation
