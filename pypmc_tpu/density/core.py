@@ -37,24 +37,26 @@ from ..ops.linalg import chol_inv_det, symmetrize
 from ..ops.lse import logsumexp
 
 
-def use_pallas(x, K=None, dim=None) -> bool:
+def use_pallas(x, K=None, dim=None, quantum=None) -> bool:
     """Whether the fused Pallas TPU kernels should be used for arrays like
     ``x``: TPU backend, float32, and not disabled via the
     ``PYPMC_TPU_DISABLE_PALLAS`` environment variable.  When the mixture
     size ``(K, dim)`` is given, additionally require that it fits the
     kernels' VMEM budget at the minimum particle tile
-    (:func:`pypmc_tpu.ops.pallas_kernels.fits_vmem`) -- very large ``K*D``
-    mixtures take the unfused XLA path instead of failing at compile time.
-    The XLA path remains the reference implementation (used on CPU and for
-    float64)."""
+    (:func:`pypmc_tpu.ops.pallas_kernels.fits_vmem`; ``quantum`` is the
+    kernel family's lane-tile quantum -- ``QUANTUM_EVAL`` (128) for
+    evaluation/statistics kernels, ``QUANTUM_RNG`` (1024, the default) for
+    the in-kernel-RNG propose kernels) -- very large ``K*D`` mixtures take
+    the unfused XLA path instead of failing at compile time.  The XLA path
+    remains the reference implementation (used on CPU and for float64)."""
     if os.environ.get("PYPMC_TPU_DISABLE_PALLAS"):
         return False
     if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
         return False
     if K is not None:
-        from ..ops.pallas_kernels import fits_vmem
+        from ..ops.pallas_kernels import QUANTUM_RNG, fits_vmem
 
-        if not fits_vmem(K, dim):
+        if not fits_vmem(K, dim, QUANTUM_RNG if quantum is None else quantum):
             return False
     return True
 
@@ -204,7 +206,7 @@ def mahalanobis_all_T(params: MixtureParams, xT) -> jax.Array:
     """``(K, N)`` squared Mahalanobis distances for transposed particles
     ``xT (D, N)``; fused Pallas pass on TPU/float32, XLA einsum otherwise."""
     xT = jnp.asarray(xT)
-    if use_pallas(xT, params.K, params.dim) and xT.shape[1] >= 1024:
+    if use_pallas(xT, params.K, params.dim, 128) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_maha
 
         a2, b2, _, _, _, center = _pallas_operands(params, "inv_chol")
@@ -243,7 +245,7 @@ def mixture_logpdf_T(params: MixtureParams, xT) -> jax.Array:
     (``mixture.pyx:101-110``) in a single Pallas kernel on TPU/float32.
     """
     xT = jnp.asarray(xT)
-    if use_pallas(xT, params.K, params.dim) and xT.shape[1] >= 1024:
+    if use_pallas(xT, params.K, params.dim, 128) and xT.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_logq
 
         a2, b2, log_norm, weights, dof, center = _pallas_operands(params, "inv_chol")

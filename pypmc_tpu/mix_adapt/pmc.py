@@ -50,7 +50,7 @@ def calculate_rho_rb_T(params: _core.MixtureParams, samples_T) -> jax.Array:
     as a single fused Pallas pass over the particles.
     """
     samples_T = jnp.asarray(samples_T)
-    if _core.use_pallas(samples_T, params.K, params.dim) and samples_T.shape[1] >= 1024:
+    if _core.use_pallas(samples_T, params.K, params.dim, 128) and samples_T.shape[1] >= 1024:
         from ..ops.pallas_kernels import fused_rho
 
         a2, b2, log_norm, weights, dof, center = _core._pallas_operands(params, "inv_chol")

@@ -145,7 +145,7 @@ def _bilinear_with_W(x, m, W):
     chol_W = jnp.linalg.cholesky(W)  # (K, D, D)
     K, D, _ = W.shape
 
-    if _dcore.use_pallas(x, K, D) and x.shape[0] >= 1024:
+    if _dcore.use_pallas(x, K, D, 128) and x.shape[0] >= 1024:
         from ..ops.pallas_kernels import fused_maha
 
         # fused_maha computes ||A_k x - A_k m_k||^2 with A_k stacked in

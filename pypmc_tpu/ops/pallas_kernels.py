@@ -61,6 +61,15 @@ def _pad8(n):
 
 _VMEM_BUDGET = 6 * 1024 * 1024
 
+# Lane-tile quantum per kernel family.  Kernels whose hot loops use the
+# :func:`_rows8` relayout (the in-kernel RNG / chi-square paths) need tiles
+# that are multiples of 1024; pure evaluation/statistics kernels only need
+# the 128-lane vreg width -- which lets them run fused for much larger
+# ``K*D`` (a 128-lane tile of a K=64, D=40 mixture fits VMEM comfortably
+# where a 1024-lane tile would not).
+QUANTUM_RNG = 1024
+QUANTUM_EVAL = 128
+
 
 def _bytes_per_lane(K: int, D: int) -> int:
     """Per-particle-lane VMEM cost estimate: a handful of (pad8(K*D), TN),
@@ -68,24 +77,26 @@ def _bytes_per_lane(K: int, D: int) -> int:
     return 4 * (3 * _pad8(K * D) + 3 * _pad8(K) + 3 * _pad8(D))
 
 
-def fits_vmem(K: int, D: int, vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
+def fits_vmem(K: int, D: int, quantum: int = QUANTUM_RNG,
+              vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
     """Whether a (K, D) mixture fits the kernels' VMEM budget at the MINIMUM
-    particle tile (1024 lanes; tiles must be multiples of 1024 for the
-    :func:`_rows8` relayout).  Callers must fall back to the unfused XLA
-    path when this is False instead of calling the fused kernels."""
-    return _bytes_per_lane(K, D) * 1024 <= vmem_budget_bytes
+    particle tile (``quantum`` lanes -- :data:`QUANTUM_RNG` for the
+    RNG/propose kernels, :data:`QUANTUM_EVAL` for evaluation/statistics
+    kernels).  Callers must fall back to the unfused XLA path when this is
+    False instead of calling the fused kernels."""
+    return _bytes_per_lane(K, D) * quantum <= vmem_budget_bytes
 
 
-def pick_tile(K: int, D: int, vmem_budget_bytes: int = _VMEM_BUDGET) -> int:
-    """Particle-tile (lane) size (see :func:`_bytes_per_lane`).
-
-    Multiples of 1024 so a tile can be relayouted to 8 sublane rows of
-    128-aligned lanes (see :func:`_rows8`); callers must gate on
-    :func:`fits_vmem` first -- mixtures too large for the minimum tile
-    belong on the unfused path."""
+def pick_tile(K: int, D: int, quantum: int = QUANTUM_RNG,
+              vmem_budget_bytes: int = _VMEM_BUDGET) -> int:
+    """Particle-tile (lane) size (see :func:`_bytes_per_lane`), a multiple
+    of ``quantum`` (1024 where the kernel relayouts to 8 sublane rows of
+    128-aligned lanes -- :func:`_rows8` -- otherwise the 128-lane vreg
+    width).  Callers must gate on :func:`fits_vmem` first -- mixtures too
+    large for the minimum tile belong on the unfused path."""
     tn = vmem_budget_bytes // max(1, _bytes_per_lane(K, D))
-    tn = max(1024, min(16384, int(tn)))
-    return (tn // 1024) * 1024
+    tn = max(quantum, min(16384, int(tn)))
+    return (tn // quantum) * quantum
 
 
 def _pad_lanes(x, tile):
@@ -534,7 +545,7 @@ def fused_logq(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
     """
     kd = a2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     xT, n_orig = _pad_lanes(xT, tile)
     grid = xT.shape[1] // tile
     student_t = dof is not None
@@ -563,7 +574,7 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
     :func:`fused_logq`)."""
     kd = a2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     xT, n_orig = _pad_lanes(xT, tile)
     grid = xT.shape[1] // tile
     student_t = dof is not None
@@ -595,7 +606,7 @@ def fused_maha(xT, a2, b2, center=None, *, dim):
     :func:`fused_logq`)."""
     kd = a2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     xT, n_orig = _pad_lanes(xT, tile)
     grid = xT.shape[1] // tile
     c = _center_or_zero(center, dim, xT.dtype)
@@ -628,7 +639,7 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
     """
     kd = ct2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_RNG)
     n = latent.shape[0]
     lat2, n_orig = _pad_lanes(latent[None, :].astype(jnp.int32), tile)
     scale2, _ = _pad_lanes(scale[None, :], tile)
@@ -687,7 +698,7 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     kd = ct2.shape[0]
     K = kd // dim
     kt = 0 if target is None else target[0].shape[0] // dim
-    tile = pick_tile(K + kt, dim)
+    tile = pick_tile(K + kt, dim, QUANTUM_RNG)
     n_pad = (n + tile - 1) // tile * tile
     grid = n_pad // tile
     seed = _seed2(seed)
@@ -756,7 +767,7 @@ def fused_transform(zT, latent, scale, ct2, mu2, *, dim):
     """
     kd = ct2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     zT, n_orig = _pad_lanes(zT, tile)
     lat2, _ = _pad_lanes(latent[None, :].astype(jnp.int32), tile)
     scale2, _ = _pad_lanes(scale[None, :], tile)
@@ -902,7 +913,7 @@ def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
     """
     kd = a2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     xT, _ = _pad_lanes(xT, tile)
     w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
     grid = xT.shape[1] // tile
@@ -1028,7 +1039,7 @@ def fused_vb_estep(xT, w, a2, b2, const, *, dim):
     """
     kd = a2.shape[0]
     K = kd // dim
-    tile = pick_tile(K, dim)
+    tile = pick_tile(K, dim, QUANTUM_EVAL)
     xT, _ = _pad_lanes(xT, tile)
     w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
     grid = xT.shape[1] // tile

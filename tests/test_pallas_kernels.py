@@ -116,6 +116,43 @@ def test_odd_shapes_logq(kk, dd):
     assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+def test_large_kd_fused_logq():
+    """Evaluation kernels run at the 128-lane quantum, so mixtures with
+    K*D far beyond 128 (here 24*24=576) stay on the fused path."""
+    kk, dd = 24, 24
+    rng = np.random.default_rng(2)
+    means = rng.normal(0, 2, size=(kk, dd)).astype(np.float32)
+    a = rng.normal(0, 0.1, size=(kk, dd, dd)).astype(np.float32)
+    covs = (np.eye(dd, dtype=np.float32)[None]
+            + np.einsum("kij,klj->kil", a, a)).astype(np.float32)
+    params, valid = core.make_mixture(means, covs)
+    assert bool(np.asarray(valid).all())
+    assert pk.fits_vmem(kk, dd, pk.QUANTUM_EVAL)
+    x = rng.normal(0, 2, size=(500, dd)).astype(np.float32)
+    a2, b2, log_norm, weights, dof, center = core._pallas_operands(params, "inv_chol")
+    out = pk.fused_logq(jnp.asarray(x.T.copy()), a2, b2, log_norm, weights,
+                        dof, center, dim=dd)
+    ref = logsumexp(core.component_logpdfs(params, jnp.asarray(x)),
+                    params.weights, axis=-1)
+    assert np.allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_fits_vmem_gating():
+    """The quantum-aware VMEM gate: small mixtures fit everywhere, huge
+    K*D only at the eval quantum, absurd K*D nowhere -- and use_pallas
+    consults it (off-TPU it is False anyway, so check the pure function)."""
+    assert pk.fits_vmem(10, 10, pk.QUANTUM_RNG)
+    assert pk.fits_vmem(10, 10, pk.QUANTUM_EVAL)
+    # K*D = 2560: fits a 128-lane tile, not a 1024-lane tile
+    assert pk.fits_vmem(64, 40, pk.QUANTUM_EVAL)
+    assert not pk.fits_vmem(64, 40, pk.QUANTUM_RNG)
+    # far beyond any budget
+    assert not pk.fits_vmem(1000, 100, pk.QUANTUM_EVAL)
+    # pick_tile respects the quantum
+    assert pk.pick_tile(64, 40, pk.QUANTUM_EVAL) % pk.QUANTUM_EVAL == 0
+    assert pk.pick_tile(10, 10, pk.QUANTUM_RNG) % pk.QUANTUM_RNG == 0
+
+
 @pytest.mark.parametrize("shift", [1e3, -4e3])
 def test_fused_logq_translation_invariant(shift):
     """Evaluation accuracy must not degrade far from the origin: the kernels
