@@ -151,6 +151,20 @@ def main():
     ok &= np.isclose(float(fused_e.log_q_Z), ref_qz, rtol=1e-3)
     check("fused VB E-step matches XLA path", bool(ok))
 
+    # ---- 2d. fused VB E-step under EXPLICIT shard_map (sharded stats) ---- #
+    mesh_vb = particle_mesh()
+    sharded_e = vbmod._vb_e_step_fused(
+        jnp.asarray(np.asarray(xv).T.copy()), wv,
+        alpha_v, beta_v, nu_v, m_v, W_v, ldW_v,
+        mesh=mesh_vb, axis_name=mesh_vb.axis_names[0])
+    ok = np.allclose(np.asarray(sharded_e.N_comp), np.asarray(fused_e.N_comp),
+                     rtol=1e-5, atol=1e-4)
+    ok &= np.allclose(np.asarray(sharded_e.S), np.asarray(fused_e.S),
+                      rtol=1e-4, atol=1e-5)
+    ok &= np.isclose(float(sharded_e.log_q_Z), float(fused_e.log_q_Z),
+                     rtol=1e-5)
+    check("fused VB E-step inside shard_map matches unsharded", bool(ok))
+
     # ---- 3. hardware-PRNG propose moments ---- #
     for name, dd in [("gauss", None), ("student_t", dofs)]:
         p2, _ = core.make_mixture(means, covs, w, dd)
@@ -199,6 +213,44 @@ def main():
 
     # ---- 4. chi-square sampler moments on TPU ---- #
     draws = np.asarray(chisquare(jax.random.PRNGKey(2), 8.0, (N,)))
+    # ---- 6. one-kernel IS+PMC training step (mixture target) ---- #
+    # the fused_is_pmc_step kernel must produce the same adapted mixture as
+    # pmc_update applied to its OWN (samples, weights) outputs, and its
+    # in-kernel weight reductions must match direct sums
+    from pypmc_tpu.mix_adapt.pmc import pmc_step_mixture_target
+
+    t_means = np.stack([rng.normal(0, 1, D),
+                        rng.normal(0, 1, D) + 3.0]).astype(np.float32)
+    t_covs = np.array([np.eye(D) * 0.8] * 2).astype(np.float32)
+    t_params, _ = core.make_mixture(t_means, t_covs,
+                                    np.array([0.3, 0.7], np.float32))
+    for tname, p_in in [("gauss", gparams), ("student_t", params)]:
+        res, sT, wgt, lat, sw = pmc_step_mixture_target(
+            p_in, t_params, jax.random.PRNGKey(5), 1 << 20)
+        ref = pmc_update(p_in, sT, wgt, transposed=True, dof_solver_steps=100)
+        scale = np.abs(np.asarray(ref.params.cov)).max(axis=(1, 2))
+        cov_err = (np.abs(np.asarray(res.params.cov)
+                          - np.asarray(ref.params.cov)).max(axis=(1, 2)) / scale)
+        ok = bool(res.rho is None)
+        ok &= np.allclose(np.asarray(res.params.means),
+                          np.asarray(ref.params.means), rtol=1e-3, atol=1e-3)
+        ok &= bool(cov_err.max() < 1e-3)
+        ok &= np.allclose(np.asarray(res.params.weights),
+                          np.asarray(ref.params.weights), rtol=1e-4, atol=1e-6)
+        if p_in.is_student_t:
+            ok &= np.allclose(np.asarray(res.params.dof),
+                              np.asarray(ref.params.dof), rtol=1e-4)
+        ok &= np.isclose(float(sw[0]), float(jnp.sum(wgt)), rtol=1e-5)
+        ok &= np.isclose(float(sw[1]), float(jnp.sum(wgt * wgt)), rtol=1e-5)
+        wl = jnp.where(wgt > 0, wgt * jnp.log(jnp.where(wgt > 0, wgt, 1.0)), 0.0)
+        ok &= np.isclose(float(sw[2]), float(jnp.sum(wl)), rtol=1e-4)
+        # padded-lane masking: odd N must give identical statistics scale
+        res_odd, sT_o, w_o, _, sw_odd = pmc_step_mixture_target(
+            p_in, t_params, jax.random.PRNGKey(5), (1 << 20) - 333)
+        ok &= np.isclose(float(sw_odd[0]), float(jnp.sum(w_o)), rtol=1e-5)
+        ok &= bool(np.isfinite(np.asarray(res_odd.params.means)).all())
+        check("one-kernel IS+PMC step (%s)" % tname, bool(ok))
+
     check("chi2 sampler moments",
           np.isfinite(draws).all()
           and np.isclose(draws.mean(), 8.0, rtol=0.02)

@@ -33,7 +33,8 @@ import logging
 logger = logging.getLogger(__name__)
 
 __all__ = ["gaussian_pmc", "student_t_pmc", "PMC",
-           "calculate_rho_rb", "calculate_rho_rb_T", "pmc_update", "PMCResult"]
+           "calculate_rho_rb", "calculate_rho_rb_T", "pmc_update", "PMCResult",
+           "pmc_step_mixture_target"]
 
 
 # --------------------------------------------------------------------- #
@@ -203,27 +204,9 @@ def pmc_update(
                 0.5 * (dim + params.dof)).reshape(K, 1).astype(dtype)
         stats = fused_pmc_stats(samples_T, w, a2, b2, log_norm, wk, dof_col,
                                 psi_c, dim=dim, dof_stats=dof_stats)
-        alpha_unnorm = psum(stats["s0"])
-        s0c = psum(stats["s0c"])
-        sd = psum(stats["sd"])
-        g = psum(stats["g"])
-        inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
-        alpha = alpha_unnorm / weight_normalization
-        d_shift = jnp.einsum("kij,kj->ki", params.chol, sd,
-                             precision="highest") / regularize(s0c)[:, None]
-        mu = params.means + d_shift
-        sxx = jnp.einsum("kij,kjl,kml->kim", params.chol, g, params.chol,
-                         precision="highest")
-        cov = (sxx - s0c[:, None, None] * d_shift[:, None, :] * d_shift[:, :, None]) \
-            * inv_unnorm_alpha[:, None, None]
+        alpha, mu, cov, const = _moments_from_whitened_stats(
+            params, stats, weight_normalization, psum, dof_stats)
         rho = None
-        const = None
-        if dof_stats:
-            nu_old = params.dof
-            c2 = (jnp.log(0.5 * nu_old)
-                  - jax.scipy.special.digamma(0.5 * nu_old) + 1.0)
-            sxd = psum(stats["t1"]) + c2 * (weight_normalization - alpha_unnorm)
-            const = 1.0 - sxd / weight_normalization
     else:
         if rb:
             rho = calculate_rho_rb_T(params, samples_T)   # (K, N)
@@ -263,31 +246,8 @@ def pmc_update(
     # ---- Student-t dof first-order condition, [HOD12] eq. (16) -------- #
     new_dofs = None
     if dof_stats:
-        def condition(nu, c):
-            return c + jnp.log(0.5 * nu) - jax.scipy.special.digamma(0.5 * nu)
-
-        def solve_one(c, old_dof):
-            f_lo = condition(mindof, c)
-            f_hi = condition(maxdof, c)
-
-            def body(_, lohi):
-                lo, hi = lohi
-                mid = 0.5 * (lo + hi)
-                go_right = condition(mid, c) > 0  # decreasing: root right of mid
-                return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid))
-
-            lo, hi = jax.lax.fori_loop(
-                0, dof_solver_steps, body,
-                (jnp.asarray(mindof, dtype), jnp.asarray(maxdof, dtype)),
-            )
-            root = 0.5 * (lo + hi)
-            # no sign change in the bracket: clamp per monotonicity
-            # (``pmc.pyx:700-710``)
-            root = jnp.where(f_lo < 0, mindof, root)
-            root = jnp.where(f_hi > 0, maxdof, root)
-            return jnp.where(jnp.isfinite(root), root, old_dof)
-
-        new_dofs = jax.vmap(solve_one)(const, params.dof)
+        new_dofs = _solve_dofs(const, params.dof, dof_solver_steps,
+                               mindof, maxdof, dtype)
     elif params.is_student_t:
         new_dofs = params.dof
 
@@ -297,6 +257,160 @@ def pmc_update(
         params, mu, cov, new_weights, new_dofs=new_dofs, update_mask=live
     )
     return PMCResult(params=new_params, rho=rho, updated_ok=ok, live=live)
+
+
+def _moments_from_whitened_stats(params, stats, weight_normalization, psum,
+                                 dof_stats):
+    """Map the fused kernels' WHITENED sufficient statistics to the
+    [Cap+08] eq. (14) moment updates (and the [HOD12] dof-condition
+    constant): ``alpha``, ``mu``, ``cov`` come from s0/s0c/sd/g via the
+    known Cholesky factors -- exact linear algebra, no extra particle
+    pass.  ``psum`` all-reduces each statistic when running sharded."""
+    alpha_unnorm = psum(stats["s0"])
+    s0c = psum(stats["s0c"])
+    sd = psum(stats["sd"])
+    g = psum(stats["g"])
+    inv_unnorm_alpha = 1.0 / regularize(alpha_unnorm)
+    alpha = alpha_unnorm / weight_normalization
+    d_shift = jnp.einsum("kij,kj->ki", params.chol, sd,
+                         precision="highest") / regularize(s0c)[:, None]
+    mu = params.means + d_shift
+    sxx = jnp.einsum("kij,kjl,kml->kim", params.chol, g, params.chol,
+                     precision="highest")
+    cov = (sxx - s0c[:, None, None] * d_shift[:, None, :] * d_shift[:, :, None]) \
+        * inv_unnorm_alpha[:, None, None]
+    const = None
+    if dof_stats:
+        nu_old = params.dof
+        c2 = (jnp.log(0.5 * nu_old)
+              - jax.scipy.special.digamma(0.5 * nu_old) + 1.0)
+        sxd = psum(stats["t1"]) + c2 * (weight_normalization - alpha_unnorm)
+        const = 1.0 - sxd / weight_normalization
+    return alpha, mu, cov, const
+
+
+def _solve_dofs(const, old_dofs, dof_solver_steps, mindof, maxdof, dtype):
+    """Per-component [HOD12] eq. (16) first-order condition solved by
+    fixed-iteration bisection vmapped over K (the condition is monotone
+    decreasing in nu); no-sign-change brackets clamp to the interval ends
+    per monotonicity (``pmc.pyx:700-710``)."""
+    def condition(nu, c):
+        return c + jnp.log(0.5 * nu) - jax.scipy.special.digamma(0.5 * nu)
+
+    def solve_one(c, old_dof):
+        f_lo = condition(mindof, c)
+        f_hi = condition(maxdof, c)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            go_right = condition(mid, c) > 0  # decreasing: root right of mid
+            return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(
+            0, dof_solver_steps, body,
+            (jnp.asarray(mindof, dtype), jnp.asarray(maxdof, dtype)),
+        )
+        root = 0.5 * (lo + hi)
+        root = jnp.where(f_lo < 0, mindof, root)
+        root = jnp.where(f_hi > 0, maxdof, root)
+        return jnp.where(jnp.isfinite(root), root, old_dof)
+
+    return jax.vmap(solve_one)(const, old_dofs)
+
+
+@partial(jax.jit, static_argnames=("n", "dof_solver_steps", "axis_name"))
+def pmc_step_mixture_target(
+    params: _core.MixtureParams,
+    target_params: _core.MixtureParams,
+    key,
+    n: int,
+    dof_solver_steps: int = 100,
+    mindof: float = 1e-5,
+    maxdof: float = 1e3,
+    axis_name: Optional[str] = None,
+):
+    """One COMPLETE (M-)PMC training step against a MIXTURE target --
+    propose, evaluate proposal and target, weight, Rao-Blackwellized
+    responsibilities, gamma pass, and every sufficient statistic -- as a
+    SINGLE Pallas kernel on the TPU fast path
+    (:func:`pypmc_tpu.ops.pallas_kernels.fused_is_pmc_step`): samples and
+    weights are written to HBM once and never re-read by the adaptation.
+    Off the fast path this composes the fused propose/evaluate kernel with
+    :func:`pmc_update` (same math, two passes).
+
+    Always Rao-Blackwellized (``rb=True``).  With ``axis_name``, ``n`` is
+    the LOCAL particle count per shard and all statistics are psum-reduced.
+
+    :returns: ``(result, samples_T (D, n), weights (n,), latent (n,),
+        sw (3,))`` with ``result`` a :class:`PMCResult` (``rho`` is None on
+        the fused path) and ``sw`` the GLOBAL ``[sum w, sum w^2,
+        sum w log w]`` weight diagnostics.
+    """
+    import os as _os
+
+    dim, K = params.dim, params.K
+    dtype = params.means.dtype
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    dof_stats = params.is_student_t and bool(dof_solver_steps)
+    use_fused = (
+        _core.use_pallas(params.means, K + target_params.K, dim)
+        and n >= 1024
+        and K * dim <= 128
+        and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
+    )
+
+    if not use_fused:
+        out = _core.propose_logq_T(params, key, n, target_params)
+        samples_T, latent, log_q, log_p = out
+        w = jnp.exp(log_p - log_q)
+        result = pmc_update(
+            params, samples_T, w, rb=True,
+            dof_solver_steps=dof_solver_steps if params.is_student_t else 0,
+            mindof=mindof, maxdof=maxdof,
+            axis_name=axis_name, transposed=True,
+        )
+        wlogw = jnp.where(w > 0, w * jnp.log(jnp.where(w > 0, w, 1.0)), 0.0)
+        sw = psum(jnp.stack([jnp.sum(w), jnp.sum(w * w), jnp.sum(wlogw)]))
+        return result, samples_T, w, latent, sw
+
+    from ..ops.pallas_kernels import fused_is_pmc_step
+
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(key, (2,), "uint32"), jnp.int32)
+    cumw = jnp.cumsum(params.weights).reshape(K, 1)
+    ct2 = params.chol.reshape(K * dim, dim)
+    a2, b2, log_norm, wk, dof_col, center = _core._pallas_operands(params, "inv_chol")
+    dof_row = None if params.dof is None else params.dof.reshape(1, K)
+    psi_c = None
+    if dof_stats:
+        psi_c = jax.scipy.special.digamma(
+            0.5 * (dim + params.dof)).reshape(K, 1).astype(dtype)
+    target = _core._pallas_operands(target_params, "inv_chol")
+    samples_T, latent, w, stats = fused_is_pmc_step(
+        seed, cumw, ct2, params.means.T, dof_row,
+        a2, b2, log_norm, wk, dof_col, center, psi_c, target,
+        n=n, dim=dim, dof_stats=dof_stats)
+
+    sw = psum(stats["sw"])
+    weight_normalization = sw[0]
+    live = params.weights > 0
+    alpha, mu, cov, const = _moments_from_whitened_stats(
+        params, stats, weight_normalization, psum, dof_stats)
+    new_dofs = None
+    if dof_stats:
+        new_dofs = _solve_dofs(const, params.dof, dof_solver_steps,
+                               mindof, maxdof, dtype)
+    elif params.is_student_t:
+        new_dofs = params.dof
+    new_weights = jnp.where(live, alpha, params.weights * 0.0)
+    new_params, ok = _core.update_masked(
+        params, mu, cov, new_weights, new_dofs=new_dofs, update_mask=live)
+    result = PMCResult(params=new_params, rho=None, updated_ok=ok, live=live)
+    return result, samples_T, w, latent, sw
 
 
 @partial(jax.jit, static_argnames=("axis_name", "transposed"))

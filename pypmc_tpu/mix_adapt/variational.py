@@ -223,8 +223,12 @@ def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
     return _EStepOut(e_lnlam, e_gauss, e_lnpi, log_rho, r, N_comp, inv_N_comp, x_mean, S)
 
 
-@jax.jit
-def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W):
+from functools import partial as _fpartial
+
+
+@_fpartial(jax.jit, static_argnames=("mesh", "axis_name"))
+def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W,
+                     mesh=None, axis_name="particles"):
     """VB-GMM E-step with ALL sufficient statistics computed in one fused
     Pallas pass over the data (:func:`pypmc_tpu.ops.pallas_kernels.fused_vb_estep`):
     no (N, K) responsibility matrix is materialized; the bound's per-sample
@@ -233,8 +237,19 @@ def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W):
     Takes the data TRANSPOSED ``(D, N)`` (native TPU layout).  The reduced
     :class:`_EStepOut` carries None for the (N, K) fields; accessing
     ``GaussianInference.r`` materializes them lazily via the plain path.
+
+    With ``mesh``, the data/weights are treated as sharded over
+    ``axis_name`` and the kernel runs per shard under an EXPLICIT
+    ``shard_map`` with psum'ed statistics -- GSPMD cannot partition a
+    ``pallas_call`` on its own, so this is what makes the fused E-step
+    scale over a device mesh (O(K D^2) communication per E-step, the VB
+    analog of the PMC psum path; replaces the reference's
+    gather-everything-to-rank-0 MPI pattern,
+    ``tools/parallel_sampler.py:58-71``).
     """
     from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as _P
 
     from ..ops.pallas_kernels import fused_vb_estep
 
@@ -256,8 +271,22 @@ def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W):
     const = (e_lnpi + 0.5 * (e_lnlam - D * jnp.log(2.0 * jnp.pi))
              - 0.5 * D / beta).reshape(K, 1).astype(dtype)
 
-    N_comp, sd, g, log_q_Z = fused_vb_estep(
-        dataT, weights.astype(dtype), a2, b2, const, dim=D)
+    if mesh is None:
+        N_comp, sd, g, log_q_Z = fused_vb_estep(
+            dataT, weights.astype(dtype), a2, b2, const, dim=D)
+    else:
+        # check_vma=False: same rationale as the parallel sampler -- the
+        # kernel's out_shape carries no varying-axes annotation
+        @_partial(jax.shard_map, mesh=mesh,
+                  in_specs=(_P(None, axis_name), _P(axis_name),
+                            _P(), _P(), _P()),
+                  out_specs=(_P(), _P(), _P(), _P()), check_vma=False)
+        def sharded_stats(dT, wloc, a2_, b2_, const_):
+            out = fused_vb_estep(dT, wloc, a2_, b2_, const_, dim=D)
+            return tuple(jax.lax.psum(v, axis_name) for v in out)
+
+        N_comp, sd, g, log_q_Z = sharded_stats(
+            dataT, weights.astype(dtype), a2, b2, const)
     inv_N_comp = 1.0 / regularize(N_comp)
 
     # un-whiten (exact linear algebra): x - m = A^{-1} diff
@@ -390,9 +419,10 @@ def _vb_bound(weights, e: _EStepOut, alpha, beta, nu, m, W, log_det_W,
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("fused",))
+@_partial(jax.jit, static_argnames=("fused", "mesh", "axis_name"))
 def _vb_update_bound(data, weights, N_comp, x_mean, S,
-                     alpha0, beta0, nu0, m0, inv_W0, log_det_W0, *, fused):
+                     alpha0, beta0, nu0, m0, inv_W0, log_det_W0, *, fused,
+                     mesh=None, axis_name="particles"):
     """One full VB iteration -- M-step, E-step, likelihood bound, finiteness
     flag -- as a SINGLE compiled computation.  ``run()`` uses this instead of
     three separate dispatches (M/E/bound): through a remote-dispatch tunnel
@@ -405,7 +435,8 @@ def _vb_update_bound(data, weights, N_comp, x_mean, S,
     alpha, beta, nu, m, W, log_det_W = _vb_m_step(
         N_comp, x_mean, S, alpha0, beta0, nu0, m0, inv_W0)
     if fused:
-        e = _vb_e_step_fused(data, weights, alpha, beta, nu, m, W, log_det_W)
+        e = _vb_e_step_fused(data, weights, alpha, beta, nu, m, W, log_det_W,
+                             mesh=mesh, axis_name=axis_name)
     else:
         e = _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W)
     bound = _vb_bound(weights, e, alpha, beta, nu, m, W, log_det_W,
@@ -445,8 +476,13 @@ class GaussianInference(object):
     :meth:`set_variational_parameters`.
     """
 
+    # class-level defaults so subclasses with their own __init__ (VBMerge)
+    # inherit the unsharded behavior
+    _mesh = None
+    _axis_name = "particles"
+
     def __init__(self, data, components=0, weights=None, initial_guess="first",
-                 **kwargs):
+                 mesh=None, **kwargs):
         if isinstance(data, jax.Array):
             # keep device placement/sharding: with the particle axis sharded
             # over a mesh, the jitted E-step's sums over n are auto-reduced
@@ -479,6 +515,28 @@ class GaussianInference(object):
             self.weights = jnp.asarray(weights) * (self.N / sum_w)
         else:
             self.weights = jnp.ones((self.N,), dtype=self.data.dtype)
+
+        # explicit device-mesh sharding of the particle axis: the fused
+        # Pallas E-step runs per shard under shard_map with psum'ed
+        # statistics (GSPMD cannot partition a pallas_call on its own);
+        # the unfused XLA path continues to shard via GSPMD-auto
+        self._mesh = mesh
+        self._axis_name = mesh.axis_names[0] if mesh is not None else "particles"
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            n_dev = mesh.devices.size
+            assert self.N % n_dev == 0, (
+                "N (%d) must be divisible by the number of devices (%d)"
+                % (self.N, n_dev))
+            self._data_T = jax.device_put(
+                jnp.asarray(self.data.T),
+                NamedSharding(mesh, _P(None, self._axis_name)))
+            self.data = jax.device_put(
+                self.data, NamedSharding(mesh, _P(self._axis_name, None)))
+            self.weights = jax.device_put(
+                self.weights, NamedSharding(mesh, _P(self._axis_name)))
 
         self._initialize_K(initial_guess, components, kwargs)
         self.set_variational_parameters(initial_guess=initial_guess, **kwargs)
@@ -667,6 +725,7 @@ class GaussianInference(object):
                 self._data_T, self.weights,
                 jnp.asarray(self.alpha), jnp.asarray(self.beta), jnp.asarray(self.nu),
                 jnp.asarray(self.m), jnp.asarray(self.W), jnp.asarray(self.log_det_W),
+                mesh=self._mesh, axis_name=self._axis_name,
             )
         return _vb_e_step(
             self.data, self.weights,
@@ -761,7 +820,9 @@ class GaussianInference(object):
             self._pri_cache = cached
         hyper, e, bound_finite = _vb_update_bound(
             data, self.weights, self.N_comp, self.x_mean_comp, self.S,
-            *cached[1], fused=fused)
+            *cached[1], fused=fused,
+            mesh=self._mesh if fused else None,
+            axis_name=self._axis_name)
         bf = _np.asarray(bound_finite)  # the ONLY host sync of the iteration
         bound = float(bf[0])
         if not bool(bf[1]):

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
            "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
-           "fused_vb_estep",
+           "fused_vb_estep", "fused_is_pmc_step",
            "pick_tile", "fits_vmem"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
@@ -960,6 +960,218 @@ def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
         "sw": sw[:, 0],
         "t1": t1[:, 0],
     }
+
+
+# ------------------------------------------------------------------ #
+# Fused one-kernel PMC training step (mixture targets)                 #
+# ------------------------------------------------------------------ #
+
+def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
+                   c_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
+                   tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
+                   x_ref, lat_ref, w_ref,
+                   s0_ref, s0c_ref, sd_ref, g_ref, sw_ref, t1_ref, *,
+                   dim, n_comp, student_t, t_student_t, dof_stats, tiny,
+                   n_orig):
+    """The ENTIRE (M-)PMC training step's particle work in one kernel:
+    draw the component (inverse-CDF on the hardware PRNG), draw the sample
+    tile (in-kernel normals / chi-square), evaluate the proposal log-q and
+    the mixture target's log-p on the VMEM-resident tile, form the
+    importance weights, the Rao-Blackwellized responsibilities, the
+    Student-t gamma pass, and accumulate ALL sufficient statistics --
+    samples and weights are written to HBM exactly once and never re-read
+    by the adaptation.
+
+    The proposal evaluation runs at FULL float32 precision (shared by
+    rho and the statistics -- same sensitivity analysis as
+    :func:`_pmc_stats_kernel`); the target evaluation uses the
+    split-precision path (it only enters through the weights, like the
+    two-pass pipeline).  Padded lanes beyond ``n_orig`` are masked out of
+    every accumulator.
+
+    Reference semantics: stack 3.1 + 3.2 of SURVEY.md in one pass
+    (``sampler/importance_sampling.py:158-215`` +
+    ``mix_adapt/pmc.pyx:23-43,181-224,601-683``).
+    """
+    tn = x_ref.shape[1]
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+
+    # ---- propose (as _propose_logq_kernel) --------------------------- #
+    u = _kernel_uniform((1, tn), offset=0)
+    cmp = (u >= cumw_ref[:]).astype(jnp.float32)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, 1), 0)
+    mask = (ks < n_comp - 1).astype(jnp.float32).reshape(1, n_comp)
+    lat = _dot01(mask, cmp).astype(jnp.int32)
+    lat_ref[:] = lat
+    onehot = _onehot_from_latent(lat, n_comp, tn)
+    x = _propose_tile(
+        onehot, None, ct_ref, mu_ref, dof_row_ref,
+        dim=dim, n_comp=n_comp, tn=tn, student_t=student_t)
+    x_ref[:] = x
+
+    # ---- proposal evaluation at FULL precision (rho + statistics) ---- #
+    kd = a_ref.shape[0]
+    K = kd // dim
+    x_aug = jnp.concatenate(
+        [x - c_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
+    seg = _block_selector(K, kd, dim, jnp.float32)
+    maha = _dot_sel(seg, diff * diff)         # (K, TN); EXACT
+    wk = wk_ref[:]
+    if student_t:
+        nu = dofc_ref[:]
+        ind = ln_ref[:] - 0.5 * (nu + dim) * jnp.log1p(maha / nu)
+    else:
+        ind = ln_ref[:] - 0.5 * maha
+    lse = _weighted_lse(ind, wk)              # log q
+    rho = jnp.exp(ind) * wk / (jnp.exp(lse) + tiny)
+    rho = jnp.where(wk > 0, rho, 0.0)
+
+    # ---- target evaluation + importance weights ---------------------- #
+    tdof = tdof_ref[:] if t_student_t else None
+    t_ind = _component_logpdfs_tile(x, tc_ref[:], ta_ref[:], tln_ref[:],
+                                    tdof, dim)
+    logp = _weighted_lse(t_ind, tw_ref[:])
+    # mask padded lanes: they drew samples (harmless, sliced away) but
+    # must contribute NOTHING to the statistics
+    gidx = pl.program_id(0) * tn + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tn), 1)
+    w = jnp.where(gidx < n_orig, jnp.exp(logp - lse), 0.0)
+    w_ref[:] = w
+
+    # ---- sufficient statistics (as _pmc_stats_kernel) ---------------- #
+    wrho = rho * w
+    if student_t:
+        gamma = (nu + dim) / (nu + maha)
+        c = wrho * gamma
+    else:
+        c = wrho
+    c_exp = _dot_sel(seg.T, c)
+    a_mat = c_exp * diff
+    g = _dotT_highest(a_mat, diff)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        s0c_ref[:] = jnp.zeros_like(s0c_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+        sw_ref[:] = jnp.zeros_like(sw_ref)
+        t1_ref[:] = jnp.zeros_like(t1_ref)
+
+    s0_ref[:] += jnp.sum(wrho, axis=1, keepdims=True)
+    s0c_ref[:] += jnp.sum(c, axis=1, keepdims=True)
+    sd_ref[:] += jnp.sum(a_mat, axis=1, keepdims=True)
+    g_ref[:] += g
+    # weight diagnostics: [sum w, sum w^2, sum w log w] (entropy term for
+    # the normalized perplexity; w == 0 lanes contribute exactly 0)
+    wlogw = jnp.where(w > 0, w * jnp.log(jnp.where(w > 0, w, 1.0)), 0.0)
+    sw_ref[:] += jnp.concatenate(
+        [jnp.sum(w, axis=1, keepdims=True),
+         jnp.sum(w * w, axis=1, keepdims=True),
+         jnp.sum(wlogw, axis=1, keepdims=True)], axis=0)
+    if dof_stats:
+        brk1 = jnp.log(0.5 * (maha + nu)) - psi_ref[:] + gamma
+        t1_ref[:] += jnp.sum(wrho * brk1, axis=1, keepdims=True)
+    else:
+        t1_ref[:] += jnp.zeros_like(t1_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dim", "dof_stats"))
+def fused_is_pmc_step(seed, cumw, ct2, mu2, dof_row,
+                      a2, b2, log_norm, weights, dof_col, center, psi_c,
+                      target, *, n, dim, dof_stats=False):
+    """One-kernel importance-sampling + PMC-statistics step (see
+    :func:`_is_pmc_kernel`); requires a MIXTURE target.
+
+    :param seed: int32 seed, scalar or ``(2,)``.
+    :param cumw, ct2, mu2, dof_row: propose operands as
+        :func:`fused_propose_logq`.
+    :param a2, b2, log_norm, weights, dof_col, center: proposal evaluation
+        operands as :func:`fused_logq` (``dof_col`` None for Gaussian).
+    :param psi_c: ``(K, 1)`` ``digamma(0.5 (D + nu))`` (Student-t with
+        ``dof_stats`` only), else None.
+    :param target: tuple ``(ta2, tb2, tlog_norm, tweights, tdof_col,
+        tcenter)`` of evaluation operands for the target mixture.
+    :returns: ``(samples_T (D, n), latent (n,), w (n,), stats)`` with
+        ``stats`` the dict of :func:`fused_pmc_stats` except that ``sw``
+        is ``(3,)`` = [sum w, sum w^2, sum w log w].
+    """
+    kd = ct2.shape[0]
+    K = kd // dim
+    kt = target[0].shape[0] // dim
+    tile = pick_tile(K + kt, dim, QUANTUM_RNG)
+    n_pad = (n + tile - 1) // tile * tile
+    grid = n_pad // tile
+    seed = _seed2(seed)
+    dtype = ct2.dtype
+    student_t = dof_row is not None
+    if dof_row is None:
+        dof_row = jnp.ones((1, K), dtype=dtype)
+        dof_col = jnp.ones((K, 1), dtype=dtype)
+    if psi_c is None:
+        psi_c = jnp.zeros((K, 1), dtype=dtype)
+    ta2, tb2, tln, tw, tdof, tcenter = target
+    t_student_t = tdof is not None
+    if tdof is None:
+        tdof = jnp.ones((kt, 1), dtype=dtype)
+    tiny_v = float(jnp.finfo(dtype).tiny)
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    operands = [
+        seed, cumw, ct2, mu2, dof_row,
+        _center_or_zero(center, dim, dtype),
+        _aug_eval_operand(a2, b2, center), log_norm, weights, dof_col, psi_c,
+        _center_or_zero(tcenter, dim, dtype),
+        _aug_eval_operand(ta2, tb2, tcenter), tln, tw, tdof,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *_small_specs([(K, 1), (kd, dim), (dim, K), (1, K),
+                       (dim, 1), (kd, dim + 1), (K, 1), (K, 1), (K, 1), (K, 1),
+                       (dim, 1), (kt * dim, dim + 1), (kt, 1), (kt, 1),
+                       (kt, 1)]),
+    ]
+    out_specs = [
+        _lane_spec(dim, tile), _lane_spec(1, tile), _lane_spec(1, tile),
+        acc((K, 1)), acc((K, 1)), acc((kd, 1)), acc((kd, kd)),
+        acc((3, 1)), acc((K, 1)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim, n_pad), dtype),
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_pad), dtype),
+        jax.ShapeDtypeStruct((K, 1), dtype),
+        jax.ShapeDtypeStruct((K, 1), dtype),
+        jax.ShapeDtypeStruct((kd, 1), dtype),
+        jax.ShapeDtypeStruct((kd, kd), dtype),
+        jax.ShapeDtypeStruct((3, 1), dtype),
+        jax.ShapeDtypeStruct((K, 1), dtype),
+    ]
+    x, lat, w, s0, s0c, sd, g, sw, t1 = pl.pallas_call(
+        functools.partial(_is_pmc_kernel, dim=dim, n_comp=K,
+                          student_t=student_t, t_student_t=t_student_t,
+                          dof_stats=dof_stats, tiny=tiny_v, n_orig=n),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(*operands)
+    g4 = g.reshape(K, dim, K, dim)
+    g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
+        g4, (k, 0, k, 0), (1, dim, 1, dim)).reshape(dim, dim)
+    )(jnp.arange(K))
+    stats = {
+        "s0": s0[:, 0],
+        "s0c": s0c[:, 0],
+        "sd": sd.reshape(K, dim),
+        "g": g_blocks,
+        "sw": sw[:, 0],
+        "t1": t1[:, 0],
+    }
+    return x[:, :n], lat[0, :n], w[0, :n], stats
 
 
 # ------------------------------------------------------------------ #

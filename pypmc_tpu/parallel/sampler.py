@@ -62,14 +62,40 @@ def clear_step_cache():
 
 def _is_body(params, key, n_local, target):
     """Per-shard importance-sampling step: propose, evaluate, weight.
-    Particles are carried transposed ``(D, n_local)`` (native TPU layout)."""
+    Particles are carried transposed ``(D, n_local)`` (native TPU layout).
+
+    Propose and proposal-log-q always run as one fused kernel
+    (:func:`~pypmc_tpu.density.core.propose_logq_T`); a MIXTURE target
+    (passed as :class:`~pypmc_tpu.density.core.MixtureParams`) is evaluated
+    inside the same kernel too."""
     from ..sampler._target import evaluate_target_T
 
-    samples_T, latent = _core.propose_T(params, key, n_local)
-    log_q = _core.mixture_logpdf_T(params, samples_T)
-    log_p = evaluate_target_T(target, samples_T)
+    if isinstance(target, _core.MixtureParams):
+        samples_T, latent, log_q, log_p = _core.propose_logq_T(
+            params, key, n_local, target)
+    else:
+        samples_T, latent, log_q = _core.propose_logq_T(params, key, n_local)
+        log_p = evaluate_target_T(target, samples_T)
     weights = jnp.exp(log_p - log_q)
     return samples_T, weights, latent
+
+
+def _target_token(target):
+    """Hashable cache token + call-time argument for a target.
+
+    Mixture targets (:class:`~pypmc_tpu.density.core.MixtureParams`) are
+    pytrees of (unhashable) arrays whose VALUES must be runtime arguments
+    of the compiled step -- baking them in as closure constants would make
+    the cache return stale compilations for different target parameters.
+    Callable targets are hashable and closure-captured as before.
+
+    Returns ``(token, tp, target_in_body)`` where ``tp`` is the extra
+    runtime argument (``()`` for callables) and ``target_in_body(tp)``
+    recovers the target inside the traced body."""
+    if isinstance(target, _core.MixtureParams):
+        token = ("mixture_target", target.K, target.dim, target.is_student_t)
+        return token, target, lambda tp: tp
+    return target, (), lambda tp: target
 
 
 def run_is_step_sharded(params, target, key, n_total, mesh=None,
@@ -77,6 +103,10 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     """Draw ``n_total`` importance samples with the particle axis sharded
     over ``mesh``; return globally-sharded ``(samples_T (D, n_total),
     weights, latent)`` -- particles in the transposed device layout.
+
+    ``target`` is a jittable log-density callable, or a
+    :class:`~pypmc_tpu.density.core.MixtureParams` (then the target is
+    evaluated inside the same fused kernel as the proposal draw).
 
     Each shard folds the key with its mesh position, so results are
     deterministic for a fixed mesh size (the reference instead broadcasts a
@@ -91,7 +121,8 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     )
     n_local = n_total // n_dev
 
-    cache_key = ("is_step", target, mesh, n_local, axis_name)
+    token, tp, target_of = _target_token(target)
+    cache_key = ("is_step", token, mesh, n_local, axis_name)
     step = _step_cache_get(cache_key)
     if step is None:
         # check_vma=False: the Pallas kernels' out_shape carries no
@@ -101,18 +132,18 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=(P(None, axis_name), P(axis_name), P(axis_name)),
             check_vma=False,
         )
-        def step(params, key):
+        def step(params, tp, key):
             my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-            return _is_body(params, my_key, n_local, target)
+            return _is_body(params, my_key, n_local, target_of(tp))
 
         step = jax.jit(step)
         _step_cache_put(cache_key, step)
 
-    return step(params, key)
+    return step(params, tp, key)
 
 
 class PMCStepStats(NamedTuple):
@@ -173,29 +204,54 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     # the compiled step is cached across pmc_run_sharded calls (a fresh
     # closure per call would defeat jax.jit's cache and pay the remote
     # XLA compile on every invocation -- ~seconds through the tunnel)
-    cache_key = ("pmc_step", target, mesh, n_local, rb, dof_solver_steps,
+    token, tp, target_of = _target_token(target)
+    if isinstance(target, _core.MixtureParams):
+        # replicate target params onto the mesh like the mixture itself
+        # (avoids a second remote compile for host-resident inputs)
+        tp = jax.device_put(tp, jax.sharding.NamedSharding(mesh, P()))
+    cache_key = ("pmc_step", token, mesh, n_local, rb, dof_solver_steps,
                  mindof, maxdof, axis_name, is_t, bool(scan_steps),
                  n_steps if scan_steps else None)
 
-    def step_body(params, key):
+    # a MIXTURE target (MixtureParams) runs the ENTIRE per-shard step --
+    # propose, both evaluations, weights, responsibilities, statistics --
+    # as ONE Pallas kernel (fused_is_pmc_step); generic callables compose
+    # the fused propose/evaluate kernel with the fused statistics pass
+    mixture_target = isinstance(target, _core.MixtureParams)
+
+    def step_body(params, tp, key):
         """One PMC step on the local shard (called under shard_map)."""
+        from ..mix_adapt.pmc import pmc_step_mixture_target
+
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        samples_T, weights, latent = _is_body(params, my_key, n_local, target)
-        result = pmc_update(
-            params, samples_T, weights,
-            rb=rb,
-            dof_solver_steps=dof_solver_steps if is_t else 0,
-            mindof=mindof, maxdof=maxdof,
-            axis_name=axis_name,
-            transposed=True,
-        )
-        # weight diagnostics (psum-reduced, replicated result)
-        sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
-        sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
+        if mixture_target and rb:
+            result, samples_T, weights, latent, sw = pmc_step_mixture_target(
+                params, target_of(tp), my_key, n_local,
+                dof_solver_steps=dof_solver_steps if is_t else 0,
+                mindof=mindof, maxdof=maxdof, axis_name=axis_name)
+            sum_w, sum_w2, sum_wlogw = sw[0], sw[1], sw[2]
+        else:
+            samples_T, weights, latent = _is_body(params, my_key, n_local,
+                                                  target_of(tp))
+            result = pmc_update(
+                params, samples_T, weights,
+                rb=rb,
+                dof_solver_steps=dof_solver_steps if is_t else 0,
+                mindof=mindof, maxdof=maxdof,
+                axis_name=axis_name,
+                transposed=True,
+            )
+            sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
+            sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
+            wlogw = jnp.where(weights > 0,
+                              weights * jnp.log(jnp.where(weights > 0, weights, 1.0)),
+                              0.0)
+            sum_wlogw = jax.lax.psum(jnp.sum(wlogw), axis_name)
+        # weight diagnostics (already psum-reduced, replicated result):
+        # entropy of the normalized weights from the raw sums,
+        # -sum wbar log wbar = log(sum w) - (sum w log w)/(sum w)
         n = jax.lax.psum(jnp.asarray(float(n_local), weights.dtype), axis_name)
-        wbar = weights / sum_w
-        log_wbar = jnp.where(wbar == 0, 0.0, jnp.log(jnp.where(wbar == 0, 1.0, wbar)))
-        entr = -jax.lax.psum(jnp.sum(wbar * log_wbar), axis_name)
+        entr = jnp.log(sum_w) - sum_wlogw / sum_w
         perp = jnp.exp(entr) / n
         coeff_var = sum_w2 * n / sum_w**2 - 1.0
         ess = 1.0 / (1.0 + coeff_var)
@@ -214,11 +270,11 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
 
         run_all = _step_cache_get(cache_key)
         if run_all is None:
-            @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+            @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
                      out_specs=(P(), P()), check_vma=False)
-            def run_all(params, keys):
+            def run_all(params, tp, keys):
                 def body(carry, k):
-                    new_params, stats, _, _ = step_body(carry, k)
+                    new_params, stats, _, _ = step_body(carry, tp, k)
                     return new_params, stats
 
                 return jax.lax.scan(body, params, keys)
@@ -227,14 +283,14 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
             _step_cache_put(cache_key, run_all)
 
         keys = jax.random.split(key, n_steps)
-        params, stats = run_all(params, keys)
+        params, stats = run_all(params, tp, keys)
         return params, stats
 
     step = _step_cache_get(cache_key)
     if step is None:
         step = jax.jit(
             partial(
-                jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+                jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
                 out_specs=(P(), P(), P(None, axis_name), P(axis_name)),
                 check_vma=False,
             )(step_body)
@@ -245,7 +301,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     samples = weights = None
     for i in range(n_steps):
         key, sub = jax.random.split(key)
-        params, stats, samples, weights = step(params, sub)
+        params, stats, samples, weights = step(params, tp, sub)
         all_stats.append(stats)
 
     stats = PMCStepStats(*[jnp.stack([getattr(s, f) for s in all_stats])

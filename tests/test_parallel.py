@@ -240,3 +240,128 @@ class TestScanSteps:
         mu = np.asarray(p_scan.means)
         est = (w[:, None] * mu).sum(axis=0)
         assert np.allclose(est, TARGET_MU, atol=0.3)
+
+
+class TestMixtureTarget:
+    """A MixtureParams target runs the fused one-kernel step on TPU; on the
+    CPU fallback both target forms share the same key-derived sample stream,
+    so the runs must agree EXACTLY -- this pins the target-as-argument
+    plumbing (cache token, shard_map specs) and the sw-based diagnostics."""
+
+    def _targets(self):
+        t_means = np.array([[0.0, 1.0], [2.0, -1.0]])
+        t_covs = np.array([np.eye(2) * 1.5, np.eye(2) * 0.7])
+        t_weights = np.array([0.4, 0.6])
+        t_params, valid = core.make_mixture(t_means, t_covs, t_weights)
+        assert bool(np.asarray(valid).all())
+
+        def t_callable(xT):
+            return core.mixture_logpdf_T(t_params, xT)
+
+        from pypmc_tpu.sampler import batched_target
+
+        return t_params, batched_target(t_callable, transposed=True)
+
+    @pytest.mark.parametrize("student_t", [False, True])
+    def test_mixture_target_equals_callable_target(self, student_t):
+        t_params, t_callable = self._targets()
+        if student_t:
+            params, _ = core.make_mixture(MEANS, COVS, WEIGHTS, DOFS)
+        else:
+            params, _ = core.make_mixture(MEANS, COVS, WEIGHTS)
+
+        p_mix, stats_mix = pmc_run_sharded(
+            t_params, params, n_total=8 * 300, n_steps=3,
+            key=jax.random.PRNGKey(11),
+        )
+        p_call, stats_call = pmc_run_sharded(
+            t_callable, params, n_total=8 * 300, n_steps=3,
+            key=jax.random.PRNGKey(11),
+        )
+        assert np.allclose(np.asarray(p_mix.means), np.asarray(p_call.means),
+                           rtol=1e-6, atol=1e-9)
+        assert np.allclose(np.asarray(p_mix.weights), np.asarray(p_call.weights),
+                           rtol=1e-6, atol=1e-12)
+        for f in stats_mix._fields:
+            assert np.allclose(np.asarray(getattr(stats_mix, f)),
+                               np.asarray(getattr(stats_call, f)),
+                               rtol=1e-5), f
+
+    def test_mixture_target_cache_not_stale(self):
+        """Two different target parameter values must give different
+        results through the cached compiled step (regression for baking
+        target params in as closure constants)."""
+        t_params, _ = self._targets()
+        t2_means = np.asarray(t_params.means) + 2.5
+        t2_params, _ = core.make_mixture(
+            t2_means, np.asarray(t_params.cov), np.asarray(t_params.weights))
+        params, _ = core.make_mixture(MEANS, COVS, WEIGHTS)
+
+        p1, _ = pmc_run_sharded(t_params, params, n_total=8 * 200, n_steps=2,
+                                key=jax.random.PRNGKey(5))
+        p2, _ = pmc_run_sharded(t2_params, params, n_total=8 * 200, n_steps=2,
+                                key=jax.random.PRNGKey(5))
+        assert not np.allclose(np.asarray(p1.means), np.asarray(p2.means),
+                               atol=0.1)
+
+    def test_step_mixture_target_matches_manual(self):
+        """pmc_step_mixture_target (fallback path off-TPU) == manual
+        propose_logq_T + pmc_update composition with the same key."""
+        from pypmc_tpu.mix_adapt.pmc import pmc_step_mixture_target
+
+        t_params, _ = self._targets()
+        params, _ = core.make_mixture(MEANS, COVS, WEIGHTS, DOFS)
+        key = jax.random.PRNGKey(7)
+        n = 1500
+
+        result, samples_T, w, latent, sw = pmc_step_mixture_target(
+            params, t_params, key, n)
+
+        s2, l2, logq, logp = core.propose_logq_T(params, key, n, t_params)
+        w2 = jnp.exp(logp - logq)
+        ref = pmc_update(params, s2, w2, transposed=True, dof_solver_steps=100)
+
+        assert np.allclose(np.asarray(samples_T), np.asarray(s2))
+        assert np.allclose(np.asarray(result.params.means),
+                           np.asarray(ref.params.means), rtol=1e-6)
+        assert np.allclose(np.asarray(result.params.cov),
+                           np.asarray(ref.params.cov), rtol=1e-6)
+        assert np.allclose(np.asarray(result.params.dof),
+                           np.asarray(ref.params.dof), rtol=1e-6)
+        assert np.isclose(float(sw[0]), float(jnp.sum(w2)), rtol=1e-6)
+        assert np.isclose(float(sw[1]), float(jnp.sum(w2 * w2)), rtol=1e-6)
+
+
+class TestShardedFusedVB:
+    """The EXPLICIT shard_map path for the fused Pallas VB E-step (GSPMD
+    cannot partition a pallas_call): statistics psum'ed per E-step must
+    reproduce the plain single-device run."""
+
+    def test_sharded_fused_estep_matches_plain(self, monkeypatch):
+        from pypmc_tpu.mix_adapt import variational as vb
+        from pypmc_tpu.ops import pallas_kernels as pk
+
+        n, dd = 8 * 200, 3
+        rng = np.random.default_rng(5)
+        data = np.vstack([rng.normal(-2, 0.5, size=(n // 2, dd)),
+                          rng.normal(2, 0.5, size=(n // 2, dd))]).astype(np.float32)
+
+        plain = vb.GaussianInference(data, components=3,
+                                     nu=np.full(3, dd + 1.0))
+        plain.run(30, prune=0.0)
+
+        monkeypatch.setattr(core, "use_pallas", lambda arr, *a, **k: True)
+        monkeypatch.setattr(pk, "INTERPRET", True)
+        mesh = particle_mesh()
+        sharded = vb.GaussianInference(data, components=3,
+                                       nu=np.full(3, dd + 1.0), mesh=mesh)
+        assert sharded._fused_eligible()
+        assert sharded._e.r is None  # reduced fused representation
+        sharded.run(30, prune=0.0)
+
+        assert np.allclose(np.asarray(sharded.N_comp), np.asarray(plain.N_comp),
+                           rtol=5e-3, atol=5e-2)
+        assert np.allclose(np.asarray(sharded.m), np.asarray(plain.m),
+                           rtol=5e-3, atol=5e-3)
+        assert np.isclose(sharded.likelihood_bound(), plain.likelihood_bound(),
+                          rtol=1e-4)
