@@ -80,6 +80,21 @@ def main():
     check("fused Mahalanobis matches XLA",
           np.allclose(ref_m, pal_m, rtol=1e-3, atol=1e-3))
 
+    # ---- 1b. ragged D and large K*D at the 128-lane eval tile quantum ---- #
+    for kk, dd in [(7, 33), (32, 24)]:
+        mr = rng.normal(0, 2, size=(kk, dd)).astype(np.float32)
+        ar = rng.normal(0, 0.1, size=(kk, dd, dd)).astype(np.float32)
+        cr = (np.eye(dd, dtype=np.float32)[None]
+              + np.einsum("kij,klj->kil", ar, ar)).astype(np.float32)
+        pr, vr = core.make_mixture(mr, cr)
+        assert bool(np.asarray(vr).all())
+        xr = jnp.asarray(rng.normal(0, 2, size=(50000, dd)).astype(np.float32))
+        pal = np.asarray(core.mixture_logpdf(pr, xr))
+        indr = core.component_logpdfs(pr, xr)
+        ref = np.asarray(logsumexp(indr, pr.weights, axis=-1))
+        check("fused log-q ragged/large K*D (K=%d, D=%d)" % (kk, dd),
+              np.allclose(pal, ref, rtol=1e-3, atol=2e-3))
+
     # ---- 2. Pallas inside shard_map + psum (1-chip mesh) ---- #
     mesh = particle_mesh(jax.devices()[:1])
     samples = jnp.asarray(rng.normal(size=(4096, D)).astype(np.float32))

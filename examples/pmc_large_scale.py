@@ -36,7 +36,6 @@ def main():
     import pypmc_tpu as pt
     from pypmc_tpu.density import core
     from pypmc_tpu.parallel import particle_mesh, pmc_run_sharded
-    from pypmc_tpu.sampler import batched_target
 
     K, D = args.components, args.dim
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
@@ -47,9 +46,13 @@ def main():
     t_covs = np.array([np.eye(D) * 0.8, np.eye(D) * 1.2]).astype(dtype)
     t_params, _ = core.make_mixture(t_means, t_covs, np.array([0.3, 0.7], dtype=dtype))
 
-    @batched_target(transposed=True)
-    def log_target(xT):
-        return core.mixture_logpdf_T(t_params, xT)
+    # passing the target as MixtureParams lets pmc_run_sharded run the
+    # WHOLE per-shard step (propose, both evaluations, weights,
+    # responsibilities, statistics) as one Pallas kernel; the equivalent
+    # callable form would be:
+    #   @batched_target(transposed=True)
+    #   def log_target(xT): return core.mixture_logpdf_T(t_params, xT)
+    log_target = t_params
 
     # wide Student-t proposal covering both modes
     means = rng.normal(1.5, 3.0, size=(K, D)).astype(dtype)

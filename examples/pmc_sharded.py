@@ -27,7 +27,10 @@ covariance1 = np.array([[0.1, 0.0], [0.0, 0.02]])
 target_mixture = pt.density.create_gaussian_mixture(
     [mean0, mean1], [covariance0, covariance1], component_weights
 )
-log_target = target_mixture.evaluate_fn()
+# passing the target's stacked MixtureParams (instead of a callable,
+# e.g. ``target_mixture.evaluate_fn()``) lets pmc_run_sharded fuse the
+# whole per-shard step into one kernel on TPU
+log_target = target_mixture.stacked_params()
 
 # poor initial proposal: three wide components
 initial_proposal = pt.density.create_gaussian_mixture(

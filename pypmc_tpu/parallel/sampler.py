@@ -156,7 +156,7 @@ class PMCStepStats(NamedTuple):
 def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                     rb=True, dof_solver_steps=100, mindof=1e-5, maxdof=1e3,
                     axis_name=PARTICLE_AXIS, return_final_samples=False,
-                    scan_steps=False):
+                    scan_steps=False, compute_log_likelihood=True):
     """Run ``n_steps`` of (M-)PMC with ``n_total`` fresh particles per step,
     fully sharded over the device mesh.
 
@@ -176,6 +176,10 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     :param scan_steps: if True, run ALL steps inside one compiled
         ``lax.scan`` (amortizes per-step dispatch latency; no per-step host
         visibility).  ``return_final_samples`` is not available in this mode.
+    :param compute_log_likelihood: the [Cap+08] eq. (5) log-likelihood of
+        the UPDATED mixture needs one extra evaluation pass over the
+        samples per step; pass False to skip it (``stats.log_likelihood``
+        is then NaN) when only the weight diagnostics matter.
 
     Returns ``(params, stats)`` with ``stats`` a :class:`PMCStepStats` of
     ``(n_steps,)`` arrays; with ``return_final_samples`` additionally the
@@ -211,7 +215,7 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         tp = jax.device_put(tp, jax.sharding.NamedSharding(mesh, P()))
     cache_key = ("pmc_step", token, mesh, n_local, rb, dof_solver_steps,
                  mindof, maxdof, axis_name, is_t, bool(scan_steps),
-                 n_steps if scan_steps else None)
+                 n_steps if scan_steps else None, bool(compute_log_likelihood))
 
     # a MIXTURE target (MixtureParams) runs the ENTIRE per-shard step --
     # propose, both evaluations, weights, responsibilities, statistics --
@@ -255,9 +259,12 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         perp = jnp.exp(entr) / n
         coeff_var = sum_w2 * n / sum_w**2 - 1.0
         ess = 1.0 / (1.0 + coeff_var)
-        norm_w = weights / sum_w
-        loglik = pmc_log_likelihood(result.params, samples_T, norm_w,
-                                    axis_name=axis_name, transposed=True)
+        if compute_log_likelihood:
+            norm_w = weights / sum_w
+            loglik = pmc_log_likelihood(result.params, samples_T, norm_w,
+                                        axis_name=axis_name, transposed=True)
+        else:
+            loglik = jnp.full((), jnp.nan, dtype=weights.dtype)
         stats = PMCStepStats(
             log_likelihood=loglik, perplexity=perp, ess=ess, evidence=sum_w / n
         )
