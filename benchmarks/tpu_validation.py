@@ -180,6 +180,70 @@ def main():
                      rtol=1e-5)
     check("fused VB E-step inside shard_map matches unsharded", bool(ok))
 
+    # ---- 2e. K-BLOCKED kernels on hardware (K*D past the dense cap) ---- #
+    # the mixture-reduction scale: K=400 at D=2 (patch_data-style), plus a
+    # large-D case; fused-blocked adapted mixture vs the forced-XLA path
+    for kk, dd, st in [(400, 2, True), (64, 40, False)]:
+        # means scaled ~1/sqrt(D) so f32 responsibilities stay representable
+        # at D=40 (a spread-out 40-D problem underflows EVERY f32 rho --
+        # reference semantics there are "all components die", not a kernel
+        # property); samples drawn FROM the mixture, the PMC conditioning
+        mr = rng.normal(0, 3.0 / np.sqrt(dd), size=(kk, dd)).astype(np.float32)
+        ar = rng.normal(0, 0.1, size=(kk, dd, dd)).astype(np.float32)
+        cr = (np.eye(dd, dtype=np.float32)[None]
+              + np.einsum("kij,klj->kil", ar, ar)).astype(np.float32)
+        dofr = np.full((kk,), 8.0, np.float32) if st else None
+        pr, vr = core.make_mixture(mr, cr, None, dofr)
+        assert bool(np.asarray(vr).all())
+        sr, _lat = core.propose(pr, jax.random.PRNGKey(13), 1 << 16)
+        wr = jnp.asarray(np.abs(rng.normal(1, 0.2, size=1 << 16)).astype(np.float32))
+        fused_b = pmc_update(pr, sr, wr)
+        saved = core.use_pallas
+        core.use_pallas = lambda arr, *a, **k: False
+        pmc_update.clear_cache()
+        try:
+            plain_b = pmc_update(pr, sr, wr)
+        finally:
+            core.use_pallas = saved
+            pmc_update.clear_cache()
+        ok = fused_b.rho is None  # proves the fused path ran
+        ok &= np.allclose(np.asarray(fused_b.params.weights),
+                          np.asarray(plain_b.params.weights),
+                          rtol=1e-3, atol=1e-6)
+        ok &= np.allclose(np.asarray(fused_b.params.means),
+                          np.asarray(plain_b.params.means), rtol=1e-2, atol=1e-2)
+        scale_b = np.abs(np.asarray(plain_b.params.cov)).max(axis=(1, 2))
+        cov_err_b = (np.abs(np.asarray(fused_b.params.cov)
+                            - np.asarray(plain_b.params.cov)).max(axis=(1, 2))
+                     / scale_b)
+        ok &= bool(cov_err_b.max() < 2e-2)
+        check("K-blocked fused PMC stats match XLA (K=%d, D=%d)" % (kk, dd),
+              bool(ok))
+
+    # blocked VB E-step on hardware (K*D = 160 > 128)
+    kk = 80
+    m_b = jnp.asarray(rng.normal(0, 3, size=(kk, 2)).astype(np.float32))
+    a_b = rng.normal(0, 0.2, size=(kk, 2, 2)).astype(np.float32)
+    W_b = jnp.asarray((np.eye(2)[None] * 0.5
+                       + np.einsum("kij,klj->kil", a_b, a_b)).astype(np.float32))
+    ld_b = jnp.asarray(np.linalg.slogdet(np.asarray(W_b))[1].astype(np.float32))
+    al_b = jnp.asarray(np.abs(rng.normal(2, 0.5, kk)).astype(np.float32))
+    be_b = jnp.asarray(np.abs(rng.normal(3, 0.5, kk)).astype(np.float32))
+    nu_b = jnp.asarray((2 + np.abs(rng.normal(3, 1, kk))).astype(np.float32))
+    xb = jnp.asarray(rng.normal(0, 3, size=(1 << 16, 2)).astype(np.float32))
+    wb = jnp.ones((1 << 16,), jnp.float32)
+    plain_eb = vbmod._vb_e_step(xb, wb, al_b, be_b, nu_b, m_b, W_b, ld_b)
+    fused_eb = vbmod._vb_e_step_fused(
+        jnp.asarray(np.asarray(xb).T.copy()), wb,
+        al_b, be_b, nu_b, m_b, W_b, ld_b, blocked=True)
+    ok = np.allclose(np.asarray(fused_eb.N_comp), np.asarray(plain_eb.N_comp),
+                     rtol=1e-2, atol=1e-2)
+    ok &= np.allclose(np.asarray(fused_eb.x_mean_comp),
+                      np.asarray(plain_eb.x_mean_comp), rtol=1e-2, atol=1e-2)
+    ok &= np.allclose(np.asarray(fused_eb.S), np.asarray(plain_eb.S),
+                      rtol=2e-2, atol=2e-2)
+    check("K-blocked fused VB E-step matches XLA (K=80, D=2)", bool(ok))
+
     # ---- 3. hardware-PRNG propose moments ---- #
     for name, dd in [("gauss", None), ("student_t", dofs)]:
         p2, _ = core.make_mixture(means, covs, w, dd)
@@ -265,6 +329,35 @@ def main():
         ok &= np.isclose(float(sw_odd[0]), float(jnp.sum(w_o)), rtol=1e-5)
         ok &= bool(np.isfinite(np.asarray(res_odd.params.means)).all())
         check("one-kernel IS+PMC step (%s)" % tname, bool(ok))
+
+    # ---- 6b. K-BLOCKED one-kernel IS+PMC step (K*D past the dense cap) -- #
+    for tname, st in [("gauss", False), ("student_t", True)]:
+        kk = 80
+        mr = rng.normal(0, 3, size=(kk, 2)).astype(np.float32)
+        cr = np.array([np.eye(2, dtype=np.float32) * 2.0] * kk)
+        dofr = np.full((kk,), 8.0, np.float32) if st else None
+        pr, _ = core.make_mixture(mr, cr, None, dofr)
+        t2_means = np.stack([rng.normal(0, 1, 2),
+                             rng.normal(0, 1, 2) + 3.0]).astype(np.float32)
+        t2_covs = np.array([np.eye(2) * 0.8] * 2).astype(np.float32)
+        t2p, _ = core.make_mixture(t2_means, t2_covs,
+                                   np.array([0.3, 0.7], np.float32))
+        res, sT, wgt, lat, sw = pmc_step_mixture_target(
+            pr, t2p, jax.random.PRNGKey(7), 1 << 20)
+        ref = pmc_update(pr, sT, wgt, transposed=True, dof_solver_steps=100)
+        ok = bool(res.rho is None)
+        ok &= np.allclose(np.asarray(res.params.weights),
+                          np.asarray(ref.params.weights), rtol=1e-3, atol=1e-6)
+        ok &= np.allclose(np.asarray(res.params.means),
+                          np.asarray(ref.params.means), rtol=1e-2, atol=1e-2)
+        scale = np.abs(np.asarray(ref.params.cov)).max(axis=(1, 2))
+        cov_err = (np.abs(np.asarray(res.params.cov)
+                          - np.asarray(ref.params.cov)).max(axis=(1, 2)) / scale)
+        ok &= bool(cov_err.max() < 2e-2)
+        ok &= np.isclose(float(sw[0]), float(jnp.sum(wgt)), rtol=1e-5)
+        ok &= bool(np.asarray(lat).max() < kk) and bool(np.asarray(lat).min() >= 0)
+        check("K-blocked one-kernel IS+PMC step (K=80, D=2, %s)" % tname,
+              bool(ok))
 
     check("chi2 sampler moments",
           np.isfinite(draws).all()

@@ -32,31 +32,22 @@ target_mixture = pt.density.create_t_mixture(
 log_target = target_mixture.evaluate_fn()
 
 # ---- 1. Markov chains from random starts in [-10, 10]^2 ---- #
+# All chains run IN PARALLEL on device: one vmapped scan kernel per
+# adaptation cycle (the reference loops 10 per-chain Python objects,
+# ``examples/uniting_markov_chains_and_variational_bayes.py:72-87``; see
+# BENCHMARKS.md "Adaptive MCMC" for the measured chain-pool throughput).
 rng = np.random.default_rng(2024)
-starts = [rng.uniform(-10, 10, size=dim) for _ in range(10)]
-
-mc_prop = pt.density.LocalGauss(np.eye(dim) * 2.38**2 / dim)
-mcs = []
-for seed, start in enumerate(starts):
-    # restart at a new random position until the start is in the support
-    while True:
-        try:
-            mcs.append(
-                pt.sampler.AdaptiveMarkovChain(log_target, mc_prop, start, rng=seed)
-            )
-            break
-        except ValueError:
-            start = rng.uniform(-10, 10, size=dim)
+starts = rng.uniform(-10, 10, size=(10, dim))
 
 print("running Markov chains ...")
-for mc in mcs:
-    for i in range(20):
-        mc.run(500)
-        mc.adapt()
-        if i == 0:
-            mc.clear()  # discard burn-in
+import jax
 
-mc_samples_sorted_by_chain = [mc.samples[:] for mc in mcs]
+pool_samples, accept_rates = pt.sampler.sample_adaptive_chains(
+    log_target, starts, np.eye(dim) * 2.38**2 / dim,
+    n_steps=500, n_adapt_cycles=20, key=jax.random.PRNGKey(2024),
+)
+# discard the first cycle as burn-in (the reference's mc.clear() after run 0)
+mc_samples_sorted_by_chain = [np.asarray(c[500:]) for c in pool_samples]
 mc_samples = np.vstack(mc_samples_sorted_by_chain)
 
 # ---- 2. group chains by R value, build long-patches mixture ---- #

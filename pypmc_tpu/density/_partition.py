@@ -27,39 +27,47 @@ def partition(N, k):
     return out
 
 
+def _patch_component(patch, index, try_diag):
+    """One Gauss from a patch's empirical moments, or None.  A non-PD
+    covariance falls back to its diagonal when ``try_diag`` (the patch may
+    be too short or degenerate for a full-rank estimate)."""
+    mean = _np.mean(patch, axis=0)
+    cov = _np.cov(patch, rowvar=0)
+    try:
+        return Gauss(mean, cov)
+    except _np.linalg.LinAlgError as full_err:
+        logger.info("patch %i: full covariance rejected (%r)",
+                    index, full_err)
+    if not try_diag:
+        return None
+    try:
+        component = Gauss(mean, _np.diag(_np.diag(cov)))
+        logger.info("patch %i: using the diagonal of the covariance", index)
+        return component
+    except _np.linalg.LinAlgError as diag_err:
+        logger.info("patch %i: diagonal covariance rejected too (%r)",
+                    index, diag_err)
+        return None
+
+
 def patch_data(data, L=100, try_diag=True):
-    """Patch ``data`` (e.g. Markov-chain output) into parts of length ``L``
-    and return a Gaussian mixture where each component gets the empirical
-    mean and covariance of one patch.  Patches whose covariance is invalid
-    fall back to the diagonal (if ``try_diag``) or are skipped.
-    (Reference: ``_partition.py:26-89``.)
+    """Cut ``data`` (e.g. Markov-chain output) into consecutive patches of
+    length ``L`` and return a Gaussian mixture with one component per patch,
+    carrying the patch's empirical mean and covariance.  Patches without a
+    valid covariance use the diagonal (if ``try_diag``) or are dropped.
+    (Same contract as the reference ``_partition.py:26-89``.)
     """
     data = _np.asarray(data)
-    patches = [data[start : start + L] for start in range(0, len(data), L)]
-
+    dropped = []
     components = []
-    skipped = []
-    for i, patch in enumerate(patches):
-        mean = _np.mean(patch, axis=0)
-        cov = _np.cov(patch, rowvar=0)
-        try:
-            components.append(Gauss(mean, cov))
-        except _np.linalg.LinAlgError as error1:
-            logger.info("Could not form Gauss from patch %i. Reason: %s" % (i, repr(error1)))
-            if try_diag:
-                cov = _np.diag(_np.diag(cov))
-                try:
-                    components.append(Gauss(mean, cov))
-                    logger.info("Diagonal covariance attempt succeeded.")
-                except _np.linalg.LinAlgError as error2:
-                    skipped.append(i)
-                    logger.info(
-                        "Diagonal covariance attempt failed. Reason: %s" % repr(error2)
-                    )
-            else:
-                skipped.append(i)
+    for i, start in enumerate(range(0, len(data), L)):
+        component = _patch_component(data[start:start + L], i, try_diag)
+        if component is None:
+            dropped.append(i)
+        else:
+            components.append(component)
 
-    if skipped:
-        logger.warning("Could not form Gaussians from: %s" % skipped)
-
+    if dropped:
+        logger.warning("dropped patches without a valid covariance: %s",
+                       dropped)
     return MixtureDensity(components)

@@ -51,7 +51,13 @@ def use_pallas(x, K=None, dim=None, quantum=None) -> bool:
     remains the reference implementation (used on CPU and for float64)."""
     if os.environ.get("PYPMC_TPU_DISABLE_PALLAS"):
         return False
-    if jax.default_backend() != "tpu" or x.dtype != jnp.float32:
+    if x.dtype != jnp.float32:
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get(
+            "PYPMC_TPU_PALLAS_INTERPRET"):
+        # PYPMC_TPU_PALLAS_INTERPRET runs the SAME fused kernels through the
+        # Pallas interpreter on any backend -- the multichip dryrun uses it
+        # so the production fused path executes under the virtual CPU mesh
         return False
     if K is not None:
         from ..ops.pallas_kernels import QUANTUM_RNG, fits_vmem

@@ -182,28 +182,36 @@ def pmc_update(
         live = live & (count >= mincount)
 
     dof_stats = params.is_student_t and bool(dof_solver_steps)
-    use_fused = (
-        rb
-        and _core.use_pallas(samples_T)
-        and N >= 1024
-        and K * dim <= 128
-    )
+    fused_mode = None
+    if rb and _core.use_pallas(samples_T) and N >= 1024:
+        from ..ops.pallas_kernels import QUANTUM_EVAL, fits_vmem_blocked
 
-    if use_fused:
+        if K * dim <= 128:
+            fused_mode = "dense"
+        elif fits_vmem_blocked(K, dim, QUANTUM_EVAL):
+            # K-blocked kernel: lifts the dense kernel's VMEM cap so the
+            # reference's K=400-scale mixture-reduction workloads stay on
+            # the single-pass path
+            fused_mode = "blocked"
+
+    if fused_mode:
         # ONE fused pass: rho, gamma, and every sufficient statistic are
         # computed per tile and accumulated in VMEM -- no (K, N) or second
         # (D, N) array ever reaches HBM.  Second moments arrive in WHITENED
         # coordinates (G_k = U_k S_k U_k^T) and are mapped back with the
         # known Cholesky factors.
-        from ..ops.pallas_kernels import fused_pmc_stats
+        from ..ops.pallas_kernels import (fused_pmc_stats,
+                                          fused_pmc_stats_blocked)
 
+        kernel = (fused_pmc_stats if fused_mode == "dense"
+                  else fused_pmc_stats_blocked)
         a2, b2, log_norm, wk, dof_col, _ = _core._pallas_operands(params, "inv_chol")
         psi_c = None
         if dof_stats:
             psi_c = jax.scipy.special.digamma(
                 0.5 * (dim + params.dof)).reshape(K, 1).astype(dtype)
-        stats = fused_pmc_stats(samples_T, w, a2, b2, log_norm, wk, dof_col,
-                                psi_c, dim=dim, dof_stats=dof_stats)
+        stats = kernel(samples_T, w, a2, b2, log_norm, wk, dof_col,
+                       psi_c, dim=dim, dof_stats=dof_stats)
         alpha, mu, cov, const = _moments_from_whitened_stats(
             params, stats, weight_normalization, psum, dof_stats)
         rho = None
@@ -356,14 +364,18 @@ def pmc_step_mixture_target(
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     dof_stats = params.is_student_t and bool(dof_solver_steps)
-    use_fused = (
-        _core.use_pallas(params.means, K + target_params.K, dim)
-        and n >= 1024
-        and K * dim <= 128
-        and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
-    )
+    fused_mode = None
+    if (n >= 1024 and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")):
+        from ..ops.pallas_kernels import QUANTUM_RNG, fits_vmem_blocked
 
-    if not use_fused:
+        if (K * dim <= 128
+                and _core.use_pallas(params.means, K + target_params.K, dim)):
+            fused_mode = "dense"
+        elif (_core.use_pallas(params.means)
+              and fits_vmem_blocked(K + target_params.K, dim, QUANTUM_RNG)):
+            fused_mode = "blocked"
+
+    if not fused_mode:
         out = _core.propose_logq_T(params, key, n, target_params)
         samples_T, latent, log_q, log_p = out
         w = jnp.exp(log_p - log_q)
@@ -377,8 +389,11 @@ def pmc_step_mixture_target(
         sw = psum(jnp.stack([jnp.sum(w), jnp.sum(w * w), jnp.sum(wlogw)]))
         return result, samples_T, w, latent, sw
 
-    from ..ops.pallas_kernels import fused_is_pmc_step
+    from ..ops.pallas_kernels import (fused_is_pmc_step,
+                                      fused_is_pmc_step_blocked)
 
+    step_kernel = (fused_is_pmc_step if fused_mode == "dense"
+                   else fused_is_pmc_step_blocked)
     seed = jax.lax.bitcast_convert_type(
         jax.random.bits(key, (2,), "uint32"), jnp.int32)
     cumw = jnp.cumsum(params.weights).reshape(K, 1)
@@ -390,7 +405,7 @@ def pmc_step_mixture_target(
         psi_c = jax.scipy.special.digamma(
             0.5 * (dim + params.dof)).reshape(K, 1).astype(dtype)
     target = _core._pallas_operands(target_params, "inv_chol")
-    samples_T, latent, w, stats = fused_is_pmc_step(
+    samples_T, latent, w, stats = step_kernel(
         seed, cumw, ct2, params.means.T, dof_row,
         a2, b2, log_norm, wk, dof_col, center, psi_c, target,
         n=n, dim=dim, dof_stats=dof_stats)

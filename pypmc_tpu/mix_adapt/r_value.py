@@ -15,81 +15,71 @@ __all__ = ["r_value", "r_group", "make_r_gaussmix", "make_r_tmix"]
 
 
 def r_value(means, variances, n, approx=False):
-    """Calculate the Gelman-Rubin R value (Chapter 2.2 in [GR92]) of ``m``
-    chains from their sample ``means`` and sample ``variances`` (defined in
-    ONE dimension), based on ``n`` samples per chain.  ``approx`` neglects
-    the d.o.f. correction.  (Reference: ``r_value.py:25-89``.)"""
-    means = _np.asarray(means)
-    variances = _np.asarray(variances)
+    """Gelman-Rubin potential-scale-reduction factor ([GR92] ch. 2.2) of
+    ``m`` chains in ONE dimension, from the per-chain sample ``means`` and
+    sample ``variances`` with ``n`` samples per chain.  ``approx=True``
+    drops the degrees-of-freedom correction factor ``df/(df-2)``.
+    (Same contract as the reference ``r_value.py:25-89``; re-derived from
+    the published equations.)"""
+    mu = _np.asarray(means, dtype=float)
+    s2 = _np.asarray(variances, dtype=float)
+    if mu.ndim != 1 or s2.ndim != 1:
+        raise ValueError("per-chain means/variances must be 1-dimensional")
+    if mu.shape != s2.shape:
+        raise ValueError(
+            "got %i chain means but %i chain variances" % (len(mu), len(s2)))
+    m = len(mu)
 
-    assert means.ndim == 1, "``means`` must be vector-like"
-    assert variances.ndim == 1, "``variances`` must be vector-like"
-    assert len(means) == len(variances), (
-        "Number of ``means`` (%i) does not match number of ``variances`` (%i)"
-        % (len(means), len(variances))
-    )
-
-    m = len(means)
-
-    x_bar = _np.average(means)
-    B_over_n = ((means - x_bar) ** 2).sum() / (m - 1)
-    W = _np.average(variances)
-
-    var_estimate = (n - 1) / n * W + B_over_n
-
+    within = s2.mean()                      # W: mean within-chain variance
+    between_n = mu.var(ddof=1)              # B/n: variance of chain means
+    # pooled posterior-variance estimate sigma^2_+ ([GR92] below eq. 3)
+    pooled = (n - 1.0) / n * within + between_n
     if approx:
-        return var_estimate / W
+        return pooled / within
 
-    V = var_estimate + B_over_n / m
-
-    # the three terms of var(V), equation (4) in [GR92]
-    tmp_cov_matrix = _np.cov(variances, means)
-    var_V = _np.cov(variances, means**2)[1, 0] - 2.0 * x_bar * tmp_cov_matrix[1, 0]
-    var_V *= 2.0 * (m + 1) * (n - 1) / (m * m * n)
-    var_V += ((m + 1) / m) ** 2 * 2.0 / (m - 1) * B_over_n * B_over_n
-    var_V += ((n - 1) / n) ** 2 / m * tmp_cov_matrix[0, 0]
-
-    df = 2.0 * V**2 / var_V
-
+    # scale of the t approximation and its variance, [GR92] eq. (4); the
+    # second moments of (s^2, mu, mu^2) across chains in one covariance call
+    scale = pooled + between_n / m
+    moments = _np.cov(_np.stack([s2, mu, mu * mu]))
+    var_scale = (
+        ((n - 1.0) / n) ** 2 / m * moments[0, 0]
+        + 2.0 * ((m + 1.0) / m) ** 2 / (m - 1.0) * between_n ** 2
+        + 2.0 * (m + 1.0) * (n - 1.0) / (m * m * n)
+        * (moments[0, 2] - 2.0 * mu.mean() * moments[0, 1])
+    )
+    df = 2.0 * scale * scale / var_scale
     if df <= 2.0:
         return _np.inf
-
-    return V / W * df / (df - 2)
+    return scale / within * df / (df - 2.0)
 
 
 def r_group(means, variances, n, critical_r=2.0, approx=False):
     """Group chains whose common :func:`r_value` is less than ``critical_r``
     in every dimension; greedy assignment in input order.
     (Reference: ``r_value.py:99-139``.)"""
-    assert len(means) == len(variances), (
-        "Number of ``means`` (%i) does not match number of ``variances`` (%i)"
-        % (len(means), len(variances))
-    )
     means = _np.asarray(means)
     variances = _np.asarray(variances)
-    assert means.ndim == 2, "``means`` must be matrix-like"
-    assert variances.ndim == 2, "``variances`` must be 2-dimensional"
-    assert means.shape[1] == variances.shape[1], (
-        "Dimensionality of ``means`` (%i) and ``variances`` (%i) does not match"
-        % (means.shape[1], variances.shape[1])
-    )
+    if means.ndim != 2 or variances.ndim != 2:
+        raise ValueError("chain means/variances must be (chains, dim) arrays")
+    if means.shape != variances.shape:
+        raise ValueError(
+            "chain means %s and variances %s have mismatching shapes"
+            % (means.shape, variances.shape))
+    dim = means.shape[1]
 
     groups = []
     for i in range(len(means)):
-        assigned = False
         for group in groups:
-            rows = group + [i]
-            r_values = _np.array(
-                [
-                    r_value(means[rows, j], variances[rows, j], n, approx)
-                    for j in range(means.shape[1])
-                ]
+            candidate = group + [i]
+            ok = all(
+                r_value(means[candidate, j], variances[candidate, j], n,
+                        approx) < critical_r
+                for j in range(dim)
             )
-            if _np.all(r_values < critical_r):
+            if ok:
                 group.append(i)
-                assigned = True
                 break
-        if not assigned:
+        else:
             groups.append([i])
 
     return groups
@@ -109,16 +99,16 @@ def _make_r_patches(data, K_g, critical_r, indices, approx):
 
     n = len(data[0])
     for item in data:
-        assert len(item) == n, "Every chain must bring the same number of points."
+        if len(item) != n:
+            raise ValueError("all chains must have equal length")
 
     data = [_np.asarray(d) for d in data]
 
     if indices is None:
         indices = _np.arange(data[0].shape[1])
-    assert len(indices) > 0, (
-        "Invalid specification of parameter indices. Need a non-empty iterable, got "
-        + str(indices)
-    )
+    if len(indices) == 0:
+        raise ValueError("``indices`` must be a non-empty iterable, got %s"
+                         % (indices,))
 
     chain_groups = r_group(
         [_np.mean(chain_values.T[indices], axis=1) for chain_values in data],

@@ -226,9 +226,9 @@ def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
 from functools import partial as _fpartial
 
 
-@_fpartial(jax.jit, static_argnames=("mesh", "axis_name"))
+@_fpartial(jax.jit, static_argnames=("mesh", "axis_name", "blocked"))
 def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W,
-                     mesh=None, axis_name="particles"):
+                     mesh=None, axis_name="particles", blocked=False):
     """VB-GMM E-step with ALL sufficient statistics computed in one fused
     Pallas pass over the data (:func:`pypmc_tpu.ops.pallas_kernels.fused_vb_estep`):
     no (N, K) responsibility matrix is materialized; the bound's per-sample
@@ -251,8 +251,11 @@ def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W,
 
     from jax.sharding import PartitionSpec as _P
 
-    from ..ops.pallas_kernels import fused_vb_estep
+    from ..ops.pallas_kernels import fused_vb_estep, fused_vb_estep_blocked
 
+    # the K-blocked kernel lifts the dense kernel's K*D <= 128 VMEM cap
+    # (same arguments and returns; gate via _fused_eligible)
+    estep_kernel = fused_vb_estep_blocked if blocked else fused_vb_estep
     D, N = dataT.shape
     K = m.shape[0]
     dtype = dataT.dtype
@@ -272,7 +275,7 @@ def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W,
              - 0.5 * D / beta).reshape(K, 1).astype(dtype)
 
     if mesh is None:
-        N_comp, sd, g, log_q_Z = fused_vb_estep(
+        N_comp, sd, g, log_q_Z = estep_kernel(
             dataT, weights.astype(dtype), a2, b2, const, dim=D)
     else:
         # check_vma=False: same rationale as the parallel sampler -- the
@@ -282,7 +285,7 @@ def _vb_e_step_fused(dataT, weights, alpha, beta, nu, m, W, log_det_W,
                             _P(), _P(), _P()),
                   out_specs=(_P(), _P(), _P(), _P()), check_vma=False)
         def sharded_stats(dT, wloc, a2_, b2_, const_):
-            out = fused_vb_estep(dT, wloc, a2_, b2_, const_, dim=D)
+            out = estep_kernel(dT, wloc, a2_, b2_, const_, dim=D)
             return tuple(jax.lax.psum(v, axis_name) for v in out)
 
         N_comp, sd, g, log_q_Z = sharded_stats(
@@ -436,7 +439,8 @@ def _vb_update_bound(data, weights, N_comp, x_mean, S,
         N_comp, x_mean, S, alpha0, beta0, nu0, m0, inv_W0)
     if fused:
         e = _vb_e_step_fused(data, weights, alpha, beta, nu, m, W, log_det_W,
-                             mesh=mesh, axis_name=axis_name)
+                             mesh=mesh, axis_name=axis_name,
+                             blocked=(fused == "blocked"))
     else:
         e = _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W)
     bound = _vb_bound(weights, e, alpha, beta, nu, m, W, log_det_W,
@@ -480,6 +484,7 @@ class GaussianInference(object):
     # inherit the unsharded behavior
     _mesh = None
     _axis_name = "particles"
+    _w_fused = None
 
     def __init__(self, data, components=0, weights=None, initial_guess="first",
                  mesh=None, **kwargs):
@@ -522,21 +527,35 @@ class GaussianInference(object):
         # the unfused XLA path continues to shard via GSPMD-auto
         self._mesh = mesh
         self._axis_name = mesh.axis_names[0] if mesh is not None else "particles"
+        self._w_fused = None  # weights aligned with _data_T (padded if needed)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as _P
 
             n_dev = mesh.devices.size
-            assert self.N % n_dev == 0, (
-                "N (%d) must be divisible by the number of devices (%d)"
-                % (self.N, n_dev))
+            # N not divisible by the device count: pad with ZERO-WEIGHT
+            # samples -- every E-step statistic is a weight-weighted sum, so
+            # the padding contributes exactly nothing (the reference's MPI
+            # sampler likewise accepts any N)
+            pad = (-self.N) % n_dev
+            dataT_p = jnp.asarray(self.data.T)
+            w_p = self.weights
+            if pad:
+                dataT_p = jnp.concatenate(
+                    [dataT_p,
+                     jnp.broadcast_to(dataT_p[:, :1], (self.dim, pad))],
+                    axis=1)
+                w_p = jnp.concatenate(
+                    [w_p, jnp.zeros((pad,), w_p.dtype)])
             self._data_T = jax.device_put(
-                jnp.asarray(self.data.T),
-                NamedSharding(mesh, _P(None, self._axis_name)))
-            self.data = jax.device_put(
-                self.data, NamedSharding(mesh, _P(self._axis_name, None)))
-            self.weights = jax.device_put(
-                self.weights, NamedSharding(mesh, _P(self._axis_name)))
+                dataT_p, NamedSharding(mesh, _P(None, self._axis_name)))
+            self._w_fused = jax.device_put(
+                w_p, NamedSharding(mesh, _P(self._axis_name)))
+            if pad == 0:
+                # the unfused GSPMD path can shard the row-major data too
+                self.data = jax.device_put(
+                    self.data, NamedSharding(mesh, _P(self._axis_name, None)))
+                self.weights = self._w_fused
 
         self._initialize_K(initial_guess, components, kwargs)
         self.set_variational_parameters(initial_guess=initial_guess, **kwargs)
@@ -712,20 +731,38 @@ class GaussianInference(object):
     # ---------------- E / M / bound ---------------- #
 
     def _fused_eligible(self):
+        """Which fused Pallas E-step applies: ``"dense"`` (K*D within the
+        dense kernels' VMEM cap), ``"blocked"`` (K-blocked kernels for
+        larger mixtures), or None (unfused XLA path)."""
         from ..density import core as _dcore
+        from ..ops.pallas_kernels import QUANTUM_EVAL, fits_vmem_blocked
 
-        return (_dcore.use_pallas(self.data) and self.N >= 1024
-                and self.K * self.dim <= 128)
+        if not (_dcore.use_pallas(self.data) and self.N >= 1024):
+            return None
+        if self.K * self.dim <= 128:
+            return "dense"
+        if fits_vmem_blocked(self.K, self.dim, QUANTUM_EVAL):
+            return "blocked"
+        return None
+
+    def _fused_inputs(self):
+        """Transposed (possibly zero-weight-padded) data + matching weights
+        for the fused E-step."""
+        if self._data_T is None or self._data_T.shape[1] < self.N:
+            self._data_T = jnp.asarray(self.data.T)
+        w = self._w_fused if self._w_fused is not None else self.weights
+        return self._data_T, w
 
     def _e_step_kernel(self):
-        if self._fused_eligible():
-            if self._data_T is None or self._data_T.shape[1] != self.N:
-                self._data_T = jnp.asarray(self.data.T)
+        mode = self._fused_eligible()
+        if mode:
+            data_T, w_fused = self._fused_inputs()
             return _vb_e_step_fused(
-                self._data_T, self.weights,
+                data_T, w_fused,
                 jnp.asarray(self.alpha), jnp.asarray(self.beta), jnp.asarray(self.nu),
                 jnp.asarray(self.m), jnp.asarray(self.W), jnp.asarray(self.log_det_W),
                 mesh=self._mesh, axis_name=self._axis_name,
+                blocked=(mode == "blocked"),
             )
         return _vb_e_step(
             self.data, self.weights,
@@ -802,12 +839,11 @@ class GaussianInference(object):
         bound in a SINGLE compiled dispatch (see :func:`_vb_update_bound`);
         returns the bound as a float.  Semantics identical to
         ``update(); likelihood_bound()``."""
-        if self._fused_eligible():
-            if self._data_T is None or self._data_T.shape[1] != self.N:
-                self._data_T = jnp.asarray(self.data.T)
-            data, fused = self._data_T, True
+        fused = self._fused_eligible()   # None | "dense" | "blocked"
+        if fused:
+            data, weights = self._fused_inputs()
         else:
-            data, fused = self.data, False
+            data, weights = self.data, self.weights
         # device copies of the prior hyperparameters, re-uploaded only when
         # the priors themselves are replaced (prune / posterior2prior /
         # set_variational_parameters) -- per-iteration host->device
@@ -819,7 +855,7 @@ class GaussianInference(object):
             cached = (src, tuple(jnp.asarray(v) for v in src))
             self._pri_cache = cached
         hyper, e, bound_finite = _vb_update_bound(
-            data, self.weights, self.N_comp, self.x_mean_comp, self.S,
+            data, weights, self.N_comp, self.x_mean_comp, self.S,
             *cached[1], fused=fused,
             mesh=self._mesh if fused else None,
             axis_name=self._axis_name)

@@ -48,11 +48,24 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
            "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
            "fused_vb_estep", "fused_is_pmc_step",
-           "pick_tile", "fits_vmem"]
+           "fused_pmc_stats_blocked", "fused_vb_estep_blocked",
+           "fused_is_pmc_step_blocked",
+           "pick_tile", "fits_vmem", "block_kb", "fits_vmem_blocked",
+           "pick_tile_blocked"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
 INTERPRET = False
+
+
+def _interpret():
+    """Interpreter switch, read at TRACE time: the module global (tests
+    monkeypatch it) or the ``PYPMC_TPU_PALLAS_INTERPRET`` environment
+    variable (the multichip dryrun sets it so the FUSED kernels execute
+    under the virtual CPU mesh instead of being disabled entirely)."""
+    import os
+
+    return INTERPRET or bool(os.environ.get("PYPMC_TPU_PALLAS_INTERPRET"))
 
 
 def _pad8(n):
@@ -237,8 +250,9 @@ def _component_logpdfs_tile(x, c, a_aug, log_norm, dof, dim):
     kd = a_aug.shape[0]
     K = kd // dim
     tn = x.shape[1]
+    xc = x if c is None else x - c
     x_aug = jnp.concatenate(
-        [x - c, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
+        [xc, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
     diff = _dot_val(a_aug, x_aug)        # (K*D, TN), already centered
     seg = _block_selector(K, kd, dim, x.dtype)
     maha = _dot_acc(seg, diff * diff)    # (K, TN)
@@ -361,12 +375,22 @@ def _unrows8(v8):
     return jnp.concatenate(rows, axis=1)
 
 
-# Fixed Marsaglia-Tsang rounds for the in-kernel chi-square draw.  The
-# per-round accept rate is >= 95%, so the probability that an element is
-# still unresolved afterwards is <= 0.05^12 ~ 2.4e-16 -- about one particle
-# per 1e8 steps of 3e7 particles falls back to the central value g = d
-# instead (a bias far below float32 resolution of any estimate).
-_MT_ROUNDS = 12
+# Fixed Marsaglia-Tsang rounds for the in-kernel chi-square draw.
+#
+# Bound: with the log-space shape boost the Gamma shape actually sampled is
+# d = a + 1 - 1/3 = a + 2/3 for ANY a = dof/2 > 0, and the Marsaglia-Tsang
+# squeeze-free acceptance probability is an increasing function of d with
+# value 0.951 at its global minimum d = 2/3 (Marsaglia & Tsang 2000, sec. 3
+# -- their worst case alpha = 1, and the boost pins us at or above it even
+# as dof -> mindof).  The per-element probability of exhausting R rounds is
+# therefore <= 0.049^R; at R = 6 that is <= 1.4e-8.  An exhausted element
+# falls back to the distribution's near-mode central value g = d -- not an
+# invalid sample -- so the induced bias on any moment is <= 1.4e-8 x O(1),
+# an order below float32 resolution (1.2e-7) and ~4 orders below the
+# Monte-Carlo error of a 1e7-particle estimate.  Halving the rounds from 12
+# removes ~half of the transcendental work in the Student-t proposal's
+# hottest loop (measured delta in BENCHMARKS.md).
+_MT_ROUNDS = 6
 
 
 def _kernel_log_chi2(dof):
@@ -473,7 +497,7 @@ def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
 def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
                          dof_ref, c_ref, a_ref, ln_ref, w_ref, dofc_ref,
                          *refs, dim, n_comp, student_t, t_student_t,
-                         has_target):
+                         has_target, centered=True):
     """Fused propose -> proposal log-q [-> mixture-target log-p] kernel.
 
     The component choice is ALSO drawn in-kernel: one hardware-PRNG uniform
@@ -508,12 +532,13 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
         dim=dim, n_comp=n_comp, tn=tn, student_t=student_t)
     out_ref[:] = x
     dofc = dofc_ref[:] if student_t else None
-    ind = _component_logpdfs_tile(x, c_ref[:], a_ref[:], ln_ref[:], dofc, dim)
+    ind = _component_logpdfs_tile(x, c_ref[:] if centered else None,
+                                  a_ref[:], ln_ref[:], dofc, dim)
     logq_ref[:] = _weighted_lse(ind, w_ref[:])
     if has_target:
         tdof = tdof_ref[:] if t_student_t else None
-        t_ind = _component_logpdfs_tile(x, tc_ref[:], ta_ref[:], tln_ref[:],
-                                        tdof, dim)
+        t_ind = _component_logpdfs_tile(x, tc_ref[:] if centered else None,
+                                        ta_ref[:], tln_ref[:], tdof, dim)
         logp_ref[:] = _weighted_lse(t_ind, tw_ref[:])
 
 
@@ -562,7 +587,7 @@ def fused_logq(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
         ],
         out_specs=_lane_spec(1, tile),
         out_shape=jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xT, c, _aug_eval_operand(a2, b2, center), log_norm, weights, dof)
     return out[0, :n_orig]
 
@@ -595,7 +620,7 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
             jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
             jax.ShapeDtypeStruct((1, xT.shape[1]), xT.dtype),
         ],
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xT, c, _aug_eval_operand(a2, b2, center), log_norm, weights, dof)
     return rho[:, :n_orig], logq[0, :n_orig]
 
@@ -618,7 +643,7 @@ def fused_maha(xT, a2, b2, center=None, *, dim):
                   *_small_specs([(dim, 1), (kd, dim + 1)])],
         out_specs=_lane_spec(K, tile),
         out_shape=jax.ShapeDtypeStruct((K, xT.shape[1]), xT.dtype),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xT, c, _aug_eval_operand(a2, b2, center))
     return out[:, :n_orig]
 
@@ -661,15 +686,15 @@ def fused_transform_rng(seed, latent, scale, ct2, mu2, dof=None, *, dim):
         ],
         out_specs=_lane_spec(dim, tile),
         out_shape=jax.ShapeDtypeStruct((dim, lat2.shape[1]), scale.dtype),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(seed, lat2, scale2, ct2, mu2, dof)
     return out[:, :n_orig]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dim"))
+@functools.partial(jax.jit, static_argnames=("n", "dim", "centered"))
 def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
                        a2, b2, log_norm, weights, dof_col, center=None,
-                       target=None, *, n, dim):
+                       target=None, *, n, dim, centered=True):
     """ONE kernel for the whole importance-sampling hot path: draw the
     per-particle component (inverse-CDF on the hardware PRNG), draw the
     mixture proposal tile (see :func:`fused_transform_rng`), evaluate the
@@ -708,6 +733,8 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
         dof_row = jnp.ones((1, K), dtype=dtype)
         dof_col = jnp.ones((K, 1), dtype=dtype)
 
+    if not centered:
+        center = None
     operands = [seed, cumw, ct2, mu2, dof_row,
                 _center_or_zero(center, dim, dtype),
                 _aug_eval_operand(a2, b2, center), log_norm, weights, dof_col]
@@ -725,6 +752,8 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     t_student_t = False
     if has_target:
         ta2, tb2, tln, tw, tdof, tcenter = target
+        if not centered:
+            tcenter = None
         t_student_t = tdof is not None
         if tdof is None:
             tdof = jnp.ones((kt, 1), dtype=dtype)
@@ -738,12 +767,12 @@ def fused_propose_logq(seed, cumw, ct2, mu2, dof_row,
     outs = pl.pallas_call(
         functools.partial(_propose_logq_kernel, dim=dim, n_comp=K,
                           student_t=student_t, t_student_t=t_student_t,
-                          has_target=has_target),
+                          has_target=has_target, centered=centered),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*operands)
     if has_target:
         x, lat, logq, logp = outs
@@ -784,7 +813,7 @@ def fused_transform(zT, latent, scale, ct2, mu2, *, dim):
         ],
         out_specs=_lane_spec(dim, tile),
         out_shape=jax.ShapeDtypeStruct((dim, zT.shape[1]), zT.dtype),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(zT, lat2, scale2, ct2, mu2)
     return out[:, :n_orig]
 
@@ -946,7 +975,7 @@ def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
             jax.ShapeDtypeStruct((2, 1), dtype),
             jax.ShapeDtypeStruct((K, 1), dtype),
         ],
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xT, w2, _aug_eval_operand(a2, b2), log_norm, weights, dof_col, psi_c)
     g4 = g.reshape(K, dim, K, dim)
     g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
@@ -1157,7 +1186,7 @@ def fused_is_pmc_step(seed, cumw, ct2, mu2, dof_row,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*operands)
     g4 = g.reshape(K, dim, K, dim)
     g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
@@ -1274,10 +1303,592 @@ def fused_vb_estep(xT, w, a2, b2, const, *, dim):
             jax.ShapeDtypeStruct((kd, kd), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(xT, w2, _aug_eval_operand(a2, b2), const)
     g4 = g.reshape(K, dim, K, dim)
     g_blocks = jax.vmap(lambda k: jax.lax.dynamic_slice(
         g4, (k, 0, k, 0), (1, dim, 1, dim)).reshape(dim, dim)
     )(jnp.arange(K))
     return s0[:, 0], sd.reshape(K, dim), g_blocks, ent[0, 0]
+
+
+# ------------------------------------------------------------------ #
+# K-blocked kernels (large K*D)                                       #
+#                                                                      #
+# The kernels above accumulate a dense (K*D, K*D) Gram matrix in VMEM  #
+# and keep the whole (K*D, TN) whitened projection live, which caps    #
+# them at K*D ~ 128.  The reference's mixture-reduction workloads run  #
+# far past that (K=400 mixtures from ``patch_data``,                   #
+# ``examples/mixture_reduction.py:34-42``), so the kernels below block #
+# the COMPONENT axis instead: per particle tile they stream over       #
+# blocks of ``kb`` components (kb*D ~ 128 sublanes, the MXU quantum),  #
+# keep only the per-block (kb, TN) log-densities for a streaming       #
+# weighted log-sum-exp, and in a second block pass accumulate          #
+# per-block (kb*D, kb*D) Gram PANELS -- total Gram work K*D * kb*D     #
+# per lane instead of (K*D)^2, and peak VMEM O(K + kb*D) rows per      #
+# lane instead of O(K*D).  The projection matmul runs twice (once per  #
+# pass); at kb*D ~ 128 the Gram panels dominate, so the recompute is   #
+# noise.  ``kb`` is a multiple of 8 so every in-kernel slice offset    #
+# is sublane-aligned.                                                  #
+# ------------------------------------------------------------------ #
+
+# finite stand-in for -inf on padded components: exp(x - m) underflows to
+# exactly 0 for any real max m, and 0 * _PAD_LOG_NORM stays 0.0 (never NaN)
+_PAD_LOG_NORM = -1e38
+
+
+def block_kb(dim: int) -> int:
+    """Component-block size for the K-blocked kernels: a multiple of 8 (so
+    every in-kernel sublane slice is aligned) with ``kb*dim`` at or near the
+    128-row MXU quantum."""
+    if dim > 16:
+        return 8
+    return 8 * max(1, 16 // dim)
+
+
+def _kpad_blocked(K: int, dim: int) -> int:
+    kb = block_kb(dim)
+    return (K + kb - 1) // kb * kb
+
+
+def _blocked_fixed_bytes(K_pad: int, dim: int, kb: int) -> int:
+    """Tile-size-independent VMEM: the stacked projection operand, the
+    Gram-panel accumulator, and the small per-component columns."""
+    return 4 * (K_pad * dim * (dim + 1) + K_pad * dim * kb * dim
+                + 8 * _pad8(K_pad))
+
+
+def _blocked_bytes_per_lane(K_pad: int, dim: int, kb: int) -> int:
+    """Per-particle-lane VMEM: the kept per-block log-density/Mahalanobis
+    lists (2 K_pad rows), pass-2 block temporaries, and the point tile."""
+    return 4 * (2 * K_pad + 4 * kb + 3 * kb * dim + dim + 4)
+
+
+def fits_vmem_blocked(K: int, D: int, quantum: int = QUANTUM_EVAL,
+                      vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
+    """Whether a (K, D) mixture fits the K-BLOCKED kernels' VMEM budget at
+    the minimum particle tile.  Callers use the dense kernels for
+    ``K*D <= 128``, these for larger mixtures that pass this check, and the
+    unfused XLA path beyond."""
+    kb = block_kb(D)
+    K_pad = _kpad_blocked(K, D)
+    if K_pad // kb > 64:  # unrolled-block compile-time guard
+        return False
+    fixed = _blocked_fixed_bytes(K_pad, D, kb)
+    return fixed + _blocked_bytes_per_lane(K_pad, D, kb) * quantum \
+        <= vmem_budget_bytes
+
+
+def pick_tile_blocked(K: int, D: int, quantum: int = QUANTUM_EVAL,
+                      vmem_budget_bytes: int = _VMEM_BUDGET) -> int:
+    """Particle-tile size for the K-blocked kernels (gate on
+    :func:`fits_vmem_blocked` first)."""
+    kb = block_kb(D)
+    K_pad = _kpad_blocked(K, D)
+    avail = vmem_budget_bytes - _blocked_fixed_bytes(K_pad, D, kb)
+    tn = avail // max(1, _blocked_bytes_per_lane(K_pad, D, kb))
+    tn = max(quantum, min(16384, int(tn)))
+    return (tn // quantum) * quantum
+
+
+def _pad_eval_operands_blocked(dim, a2, b2, log_norm, weights, dof_col,
+                               psi_c=None):
+    """Pad the per-component evaluation operands to a multiple of the block
+    size.  Padded components carry weight 0 and log-norm
+    :data:`_PAD_LOG_NORM`, so they contribute EXACTLY zero to the weighted
+    LSE, the responsibilities and every statistic."""
+    K = a2.shape[0] // dim
+    K_pad = _kpad_blocked(K, dim)
+    if K_pad == K:
+        return K_pad, a2, b2, log_norm, weights, dof_col, psi_c
+    p = K_pad - K
+    dtype = a2.dtype
+    a2 = jnp.pad(a2, ((0, p * dim), (0, 0)))
+    b2 = jnp.pad(b2, ((0, p * dim), (0, 0)))
+    log_norm = jnp.concatenate(
+        [log_norm, jnp.full((p, 1), _PAD_LOG_NORM, dtype)])
+    weights = jnp.pad(weights, ((0, p), (0, 0)))
+    if dof_col is not None:
+        dof_col = jnp.concatenate([dof_col, jnp.ones((p, 1), dtype)])
+    if psi_c is not None:
+        psi_c = jnp.pad(psi_c, ((0, p), (0, 0)))
+    return K_pad, a2, b2, log_norm, weights, dof_col, psi_c
+
+
+def _blocked_logpdfs(x_aug, a_ref, ln_ref, dof_ref, seg, *, dim, kb, nb,
+                     student_t, precise):
+    """Per-block component log-densities from the (pre-centered) augmented
+    tile ``x_aug (D+1, TN)``: returns lists of ``nb`` per-block ``(kb, TN)``
+    Mahalanobis / log-density arrays.  ``precise`` selects full-f32 matmuls
+    (needed where responsibilities/statistics are formed) vs the ~2^-16
+    split-precision path (enough for importance weights)."""
+    kbd = kb * dim
+    dot = _dot if precise else _dot_val
+    red = _dot_sel if precise else _dot_acc
+    mahas, inds = [], []
+    for j in range(nb):
+        a_j = a_ref[j * kbd:(j + 1) * kbd, :]
+        diff_j = dot(a_j, x_aug)
+        maha_j = red(seg, diff_j * diff_j)
+        ln_j = ln_ref[j * kb:(j + 1) * kb, :]
+        if student_t:
+            nu_j = dof_ref[j * kb:(j + 1) * kb, :]
+            ind_j = ln_j - 0.5 * (nu_j + dim) * jnp.log1p(maha_j / nu_j)
+        else:
+            ind_j = ln_j - 0.5 * maha_j
+        mahas.append(maha_j)
+        inds.append(ind_j)
+    return mahas, inds
+
+
+def _streaming_weighted_lse(inds, wk_ref, kb):
+    """Column-wise weighted log-sum-exp over the per-block log-density list
+    (the K-blocked form of :func:`_weighted_lse`)."""
+    m = jnp.max(inds[0], axis=0, keepdims=True)
+    for ind_j in inds[1:]:
+        m = jnp.maximum(m, jnp.max(ind_j, axis=0, keepdims=True))
+    s = None
+    for j, ind_j in enumerate(inds):
+        wk_j = wk_ref[j * kb:(j + 1) * kb, :]
+        t = jnp.sum(wk_j * jnp.exp(ind_j - m), axis=0, keepdims=True)
+        s = t if s is None else s + t
+    return jnp.log(s) + m
+
+
+def _blocked_stats_pass(x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds,
+                        denom, w, seg, s0_ref, s0c_ref, sd_ref, gp_ref,
+                        t1_ref, *, dim, kb, nb, student_t, dof_stats):
+    """Second block pass: responsibilities, (Student-t) gamma, and ALL
+    per-block sufficient statistics, accumulated into block-sliced VMEM
+    refs.  ``gp_ref (K_pad*D, kb*D)`` stacks the per-block Gram panels;
+    the caller extracts the K diagonal (D, D) blocks."""
+    kbd = kb * dim
+    for j in range(nb):
+        wk_j = wk_ref[j * kb:(j + 1) * kb, :]
+        rho_j = jnp.where(wk_j > 0, jnp.exp(inds[j]) * wk_j / denom, 0.0)
+        wrho_j = rho_j * w
+        if student_t:
+            nu_j = dofc_ref[j * kb:(j + 1) * kb, :]
+            gamma_j = (nu_j + dim) / (nu_j + mahas[j])
+            c_j = wrho_j * gamma_j
+        else:
+            c_j = wrho_j
+        a_j = a_ref[j * kbd:(j + 1) * kbd, :]
+        diff_j = _dot(a_j, x_aug)           # recompute (cheap vs the panels)
+        c_exp_j = _dot_sel(seg.T, c_j)      # (kb*D, TN), exact
+        a_mat_j = c_exp_j * diff_j
+        s0_ref[j * kb:(j + 1) * kb, :] += jnp.sum(wrho_j, axis=1,
+                                                  keepdims=True)
+        s0c_ref[j * kb:(j + 1) * kb, :] += jnp.sum(c_j, axis=1, keepdims=True)
+        sd_ref[j * kbd:(j + 1) * kbd, :] += jnp.sum(a_mat_j, axis=1,
+                                                    keepdims=True)
+        gp_ref[j * kbd:(j + 1) * kbd, :] += _dotT_highest(a_mat_j, diff_j)
+        if dof_stats:
+            brk1_j = (jnp.log(0.5 * (mahas[j] + nu_j))
+                      - psi_ref[j * kb:(j + 1) * kb, :] + gamma_j)
+            t1_ref[j * kb:(j + 1) * kb, :] += jnp.sum(wrho_j * brk1_j, axis=1,
+                                                      keepdims=True)
+
+
+def _gram_panels_to_blocks(gp, K_pad, dim, kb):
+    """Extract the K diagonal (D, D) blocks from the stacked per-block Gram
+    panels ``gp (K_pad*D, kb*D)``."""
+    gp4 = gp.reshape(K_pad, dim, kb, dim)
+    return jax.vmap(lambda r: jax.lax.dynamic_slice(
+        gp4, (r, 0, jax.lax.rem(r, kb), 0), (1, dim, 1, dim)
+    ).reshape(dim, dim))(jnp.arange(K_pad))
+
+
+def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
+                              psi_ref, s0_ref, s0c_ref, sd_ref, gp_ref,
+                              sw_ref, t1_ref, *, dim, kb, student_t,
+                              dof_stats, tiny):
+    """K-blocked variant of :func:`_pmc_stats_kernel` (same statistics, same
+    reference semantics) -- see the section comment for the blocking
+    scheme."""
+    kd = a_ref.shape[0]
+    K = kd // dim
+    nb = K // kb
+    tn = x_ref.shape[1]
+
+    x_aug = jnp.concatenate(
+        [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    seg = _block_selector(kb, kb * dim, dim, jnp.float32)
+    mahas, inds = _blocked_logpdfs(
+        x_aug, a_ref, ln_ref, dofc_ref, seg, dim=dim, kb=kb, nb=nb,
+        student_t=student_t, precise=True)
+    lse = _streaming_weighted_lse(inds, wk_ref, kb)
+    denom = jnp.exp(lse) + tiny
+    w = w_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        s0c_ref[:] = jnp.zeros_like(s0c_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        gp_ref[:] = jnp.zeros_like(gp_ref)
+        sw_ref[:] = jnp.zeros_like(sw_ref)
+        t1_ref[:] = jnp.zeros_like(t1_ref)
+
+    _blocked_stats_pass(
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w, seg,
+        s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
+        dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
+    sw_ref[:] += jnp.concatenate(
+        [jnp.sum(w, axis=1, keepdims=True),
+         jnp.sum(w * w, axis=1, keepdims=True)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "dof_stats"))
+def fused_pmc_stats_blocked(xT, w, a2, b2, log_norm, weights, dof_col,
+                            psi_c=None, *, dim, dof_stats=False):
+    """K-blocked :func:`fused_pmc_stats` -- identical arguments and returns,
+    but fused for mixtures far past ``K*D = 128`` (gate on
+    :func:`fits_vmem_blocked`)."""
+    K = a2.shape[0] // dim
+    kb = block_kb(dim)
+    dtype = xT.dtype
+    student_t = dof_col is not None
+    K_pad, a2, b2, log_norm, weights, dof_col, psi_c = \
+        _pad_eval_operands_blocked(dim, a2, b2, log_norm, weights, dof_col,
+                                   psi_c)
+    if dof_col is None:
+        dof_col = jnp.ones((K_pad, 1), dtype=dtype)
+    if psi_c is None:
+        psi_c = jnp.zeros((K_pad, 1), dtype=dtype)
+    kd = K_pad * dim
+    tile = pick_tile_blocked(K, dim, QUANTUM_EVAL)
+    xT, _ = _pad_lanes(xT, tile)
+    w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
+    grid = xT.shape[1] // tile
+    tiny_v = float(jnp.finfo(dtype).tiny)
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    s0, s0c, sd, gp, sw, t1 = pl.pallas_call(
+        functools.partial(_pmc_stats_blocked_kernel, dim=dim, kb=kb,
+                          student_t=student_t, dof_stats=dof_stats,
+                          tiny=tiny_v),
+        grid=(grid,),
+        in_specs=[
+            _lane_spec(dim, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim + 1), (K_pad, 1), (K_pad, 1), (K_pad, 1),
+                           (K_pad, 1)]),
+        ],
+        out_specs=[acc((K_pad, 1)), acc((K_pad, 1)), acc((kd, 1)),
+                   acc((kd, kb * dim)), acc((2, 1)), acc((K_pad, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((K_pad, 1), dtype),
+            jax.ShapeDtypeStruct((K_pad, 1), dtype),
+            jax.ShapeDtypeStruct((kd, 1), dtype),
+            jax.ShapeDtypeStruct((kd, kb * dim), dtype),
+            jax.ShapeDtypeStruct((2, 1), dtype),
+            jax.ShapeDtypeStruct((K_pad, 1), dtype),
+        ],
+        interpret=_interpret(),
+    )(xT, w2, _aug_eval_operand(a2, b2), log_norm, weights, dof_col, psi_c)
+    g_blocks = _gram_panels_to_blocks(gp, K_pad, dim, kb)
+    return {
+        "s0": s0[:K, 0],
+        "s0c": s0c[:K, 0],
+        "sd": sd.reshape(K_pad, dim)[:K],
+        "g": g_blocks[:K],
+        "sw": sw[:, 0],
+        "t1": t1[:K, 0],
+    }
+
+
+def _vb_estep_blocked_kernel(x_ref, w_ref, a_ref, c_ref,
+                             s0_ref, sd_ref, gp_ref, ent_ref, *, dim, kb):
+    """K-blocked variant of :func:`_vb_estep_kernel` (same statistics)."""
+    kd = a_ref.shape[0]
+    K = kd // dim
+    nb = K // kb
+    kbd = kb * dim
+    tn = x_ref.shape[1]
+
+    x_aug = jnp.concatenate(
+        [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    seg = _block_selector(kb, kbd, dim, jnp.float32)
+
+    inds = []
+    for j in range(nb):
+        a_j = a_ref[j * kbd:(j + 1) * kbd, :]
+        diff_j = _dot(a_j, x_aug)
+        maha_j = _dot_sel(seg, diff_j * diff_j)
+        inds.append(c_ref[j * kb:(j + 1) * kb, :] - 0.5 * maha_j)  # (10.46)
+    m = jnp.max(inds[0], axis=0, keepdims=True)
+    for ind_j in inds[1:]:
+        m = jnp.maximum(m, jnp.max(ind_j, axis=0, keepdims=True))
+    s = None
+    for ind_j in inds:
+        t = jnp.sum(jnp.exp(ind_j - m), axis=0, keepdims=True)
+        s = t if s is None else s + t
+    lse = jnp.log(s) + m
+    w = w_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        gp_ref[:] = jnp.zeros_like(gp_ref)
+        ent_ref[:] = jnp.zeros_like(ent_ref)
+
+    for j in range(nb):
+        logr_j = inds[j] - lse                # (10.49), normalized
+        r_j = jnp.exp(logr_j)
+        wr_j = r_j * w
+        a_j = a_ref[j * kbd:(j + 1) * kbd, :]
+        diff_j = _dot(a_j, x_aug)
+        c_exp_j = _dot_sel(seg.T, wr_j)
+        a_mat_j = c_exp_j * diff_j
+        s0_ref[j * kb:(j + 1) * kb, :] += jnp.sum(wr_j, axis=1, keepdims=True)
+        sd_ref[j * kbd:(j + 1) * kbd, :] += jnp.sum(a_mat_j, axis=1,
+                                                    keepdims=True)
+        gp_ref[j * kbd:(j + 1) * kbd, :] += _dotT_highest(a_mat_j, diff_j)
+        # (10.75): padded components have wr == 0 and finite logr -> 0
+        ent_ref[:] += jnp.sum(jnp.sum(wr_j * logr_j, axis=1, keepdims=True),
+                              axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def fused_vb_estep_blocked(xT, w, a2, b2, const, *, dim):
+    """K-blocked :func:`fused_vb_estep` -- identical arguments and returns,
+    fused past ``K*D = 128`` (gate on :func:`fits_vmem_blocked`)."""
+    K = a2.shape[0] // dim
+    kb = block_kb(dim)
+    dtype = xT.dtype
+    K_pad, a2, b2, const, _w_unused, _d, _p = _pad_eval_operands_blocked(
+        dim, a2, b2, const, jnp.ones((K, 1), dtype), None)
+    kd = K_pad * dim
+    tile = pick_tile_blocked(K, dim, QUANTUM_EVAL)
+    xT, _ = _pad_lanes(xT, tile)
+    w2, _ = _pad_lanes(w[None, :], tile)
+    grid = xT.shape[1] // tile
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    s0, sd, gp, ent = pl.pallas_call(
+        functools.partial(_vb_estep_blocked_kernel, dim=dim, kb=kb),
+        grid=(grid,),
+        in_specs=[
+            _lane_spec(dim, tile),
+            _lane_spec(1, tile),
+            *_small_specs([(kd, dim + 1), (K_pad, 1)]),
+        ],
+        out_specs=[acc((K_pad, 1)), acc((kd, 1)), acc((kd, kb * dim)),
+                   acc((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((K_pad, 1), dtype),
+            jax.ShapeDtypeStruct((kd, 1), dtype),
+            jax.ShapeDtypeStruct((kd, kb * dim), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        interpret=_interpret(),
+    )(xT, w2, _aug_eval_operand(a2, b2), const)
+    g_blocks = _gram_panels_to_blocks(gp, K_pad, dim, kb)
+    return s0[:K, 0], sd.reshape(K_pad, dim)[:K], g_blocks[:K], ent[0, 0]
+
+
+def _pad_propose_operands_blocked(dim, cumw, ct2, mu2, dof_row):
+    """Pad the propose-side operands to the block multiple: padded
+    components get cumulative weight 1 (an empty inverse-CDF interval --
+    never drawn), zero transform rows and dof 1."""
+    K = cumw.shape[0]
+    K_pad = _kpad_blocked(K, dim)
+    if K_pad == K:
+        return cumw, ct2, mu2, dof_row
+    p = K_pad - K
+    dtype = ct2.dtype
+    cumw = jnp.concatenate([cumw, jnp.ones((p, 1), dtype)])
+    ct2 = jnp.pad(ct2, ((0, p * dim), (0, 0)))
+    mu2 = jnp.pad(mu2, ((0, 0), (0, p)))
+    if dof_row is not None:
+        dof_row = jnp.concatenate([dof_row, jnp.ones((1, p), dtype)], axis=1)
+    return cumw, ct2, mu2, dof_row
+
+
+def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
+                           c_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
+                           tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
+                           x_ref, lat_ref, w_ref,
+                           s0_ref, s0c_ref, sd_ref, gp_ref, sw_ref, t1_ref, *,
+                           dim, kb, student_t, t_student_t, dof_stats, tiny,
+                           n_orig):
+    """K-blocked variant of :func:`_is_pmc_kernel`: the whole (M-)PMC
+    training step's particle work in one kernel, fused for mixtures far
+    past ``K*D = 128`` (see the K-blocked section comment)."""
+    kd = a_ref.shape[0]
+    K = kd // dim
+    nb = K // kb
+    ktd = ta_ref.shape[0]
+    KT = ktd // dim
+    nbt = KT // kb
+    kbd = kb * dim
+    tn = x_ref.shape[1]
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+
+    # ---- propose ------------------------------------------------------ #
+    # inverse-CDF categorical; padded components (cumw == 1) are never drawn
+    u = _kernel_uniform((1, tn), offset=0)
+    cmp = (u >= cumw_ref[:]).astype(jnp.float32)          # (K, TN)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    mask = (ks < K - 1).astype(jnp.float32).reshape(1, K)
+    lat = _dot01(mask, cmp).astype(jnp.int32)
+    lat_ref[:] = lat
+    onehot = _onehot_from_latent(lat, K, tn)
+
+    z = _kernel_normal_rows(dim, tn)
+    seg = _block_selector(kb, kbd, dim, jnp.float32)
+    pos = _pos_selector(dim, kbd, jnp.float32)
+    y_sel = None
+    for j in range(nb):
+        ct_j = ct_ref[j * kbd:(j + 1) * kbd, :]
+        y_j = _dot_val(ct_j, z)
+        ohe_j = _dot01(seg.T, onehot[j * kb:(j + 1) * kb, :])
+        t = _dot_sel(pos, y_j * ohe_j)
+        y_sel = t if y_sel is None else y_sel + t
+    mu_sel = _dot_selr(mu_ref[:], onehot)
+    if student_t:
+        dof_sel = _dot_selr(dof_row_ref[:], onehot)
+        dof8 = _rows8(dof_sel)
+        log_chi2 = _kernel_log_chi2(dof8)
+        scale8 = jnp.exp(0.5 * (jnp.log(dof8) - log_chi2))
+        x = mu_sel + y_sel * _unrows8(scale8)
+    else:
+        x = mu_sel + y_sel
+    x_ref[:] = x
+
+    # ---- proposal evaluation at FULL precision (rho + statistics) ----- #
+    x_aug = jnp.concatenate(
+        [x - c_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    mahas, inds = _blocked_logpdfs(
+        x_aug, a_ref, ln_ref, dofc_ref, seg, dim=dim, kb=kb, nb=nb,
+        student_t=student_t, precise=True)
+    lse = _streaming_weighted_lse(inds, wk_ref, kb)
+    denom = jnp.exp(lse) + tiny
+
+    # ---- target evaluation (split precision) + importance weights ----- #
+    xt_aug = jnp.concatenate(
+        [x - tc_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
+    _, t_inds = _blocked_logpdfs(
+        xt_aug, ta_ref, tln_ref, tdof_ref, seg, dim=dim, kb=kb, nb=nbt,
+        student_t=t_student_t, precise=False)
+    logp = _streaming_weighted_lse(t_inds, tw_ref, kb)
+    gidx = pl.program_id(0) * tn + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tn), 1)
+    w = jnp.where(gidx < n_orig, jnp.exp(logp - lse), 0.0)
+    w_ref[:] = w
+
+    # ---- sufficient statistics ---------------------------------------- #
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        s0c_ref[:] = jnp.zeros_like(s0c_ref)
+        sd_ref[:] = jnp.zeros_like(sd_ref)
+        gp_ref[:] = jnp.zeros_like(gp_ref)
+        sw_ref[:] = jnp.zeros_like(sw_ref)
+        t1_ref[:] = jnp.zeros_like(t1_ref)
+
+    _blocked_stats_pass(
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w, seg,
+        s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
+        dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
+    wlogw = jnp.where(w > 0, w * jnp.log(jnp.where(w > 0, w, 1.0)), 0.0)
+    sw_ref[:] += jnp.concatenate(
+        [jnp.sum(w, axis=1, keepdims=True),
+         jnp.sum(w * w, axis=1, keepdims=True),
+         jnp.sum(wlogw, axis=1, keepdims=True)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dim", "dof_stats"))
+def fused_is_pmc_step_blocked(seed, cumw, ct2, mu2, dof_row,
+                              a2, b2, log_norm, weights, dof_col, center,
+                              psi_c, target, *, n, dim, dof_stats=False):
+    """K-blocked :func:`fused_is_pmc_step` -- identical arguments and
+    returns, fused past ``K*D = 128`` (gate on :func:`fits_vmem_blocked`
+    with ``K + K_target`` components at :data:`QUANTUM_RNG`)."""
+    K = cumw.shape[0]
+    KT = target[0].shape[0] // dim
+    kb = block_kb(dim)
+    dtype = ct2.dtype
+    student_t = dof_row is not None
+    if dof_row is None:
+        dof_row = jnp.ones((1, K), dtype=dtype)
+        dof_col = jnp.ones((K, 1), dtype=dtype)
+    cumw, ct2, mu2, dof_row = _pad_propose_operands_blocked(
+        dim, cumw, ct2, mu2, dof_row)
+    K_pad, a2, b2, log_norm, weights, dof_col, psi_c = \
+        _pad_eval_operands_blocked(dim, a2, b2, log_norm, weights, dof_col,
+                                   psi_c)
+    if psi_c is None:
+        psi_c = jnp.zeros((K_pad, 1), dtype=dtype)
+    ta2, tb2, tln, tw, tdof, tcenter = target
+    t_student_t = tdof is not None
+    KT_pad, ta2, tb2, tln, tw, tdof, _ = _pad_eval_operands_blocked(
+        dim, ta2, tb2, tln, tw, tdof)
+    if tdof is None:
+        tdof = jnp.ones((KT_pad, 1), dtype=dtype)
+    kd = K_pad * dim
+    ktd = KT_pad * dim
+
+    tile = pick_tile_blocked(K + KT, dim, QUANTUM_RNG)
+    n_pad = (n + tile - 1) // tile * tile
+    grid = n_pad // tile
+    seed = _seed2(seed)
+    tiny_v = float(jnp.finfo(dtype).tiny)
+
+    zero_map = lambda i: (0, 0)
+    acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
+    operands = [
+        seed, cumw, ct2, mu2, dof_row,
+        _center_or_zero(center, dim, dtype),
+        _aug_eval_operand(a2, b2, center), log_norm, weights, dof_col, psi_c,
+        _center_or_zero(tcenter, dim, dtype),
+        _aug_eval_operand(ta2, tb2, tcenter), tln, tw, tdof,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *_small_specs([(K_pad, 1), (kd, dim), (dim, K_pad), (1, K_pad),
+                       (dim, 1), (kd, dim + 1), (K_pad, 1), (K_pad, 1),
+                       (K_pad, 1), (K_pad, 1),
+                       (dim, 1), (ktd, dim + 1), (KT_pad, 1), (KT_pad, 1),
+                       (KT_pad, 1)]),
+    ]
+    out_specs = [
+        _lane_spec(dim, tile), _lane_spec(1, tile), _lane_spec(1, tile),
+        acc((K_pad, 1)), acc((K_pad, 1)), acc((kd, 1)), acc((kd, kb * dim)),
+        acc((3, 1)), acc((K_pad, 1)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim, n_pad), dtype),
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, n_pad), dtype),
+        jax.ShapeDtypeStruct((K_pad, 1), dtype),
+        jax.ShapeDtypeStruct((K_pad, 1), dtype),
+        jax.ShapeDtypeStruct((kd, 1), dtype),
+        jax.ShapeDtypeStruct((kd, kb * dim), dtype),
+        jax.ShapeDtypeStruct((3, 1), dtype),
+        jax.ShapeDtypeStruct((K_pad, 1), dtype),
+    ]
+    x, lat, w, s0, s0c, sd, gp, sw, t1 = pl.pallas_call(
+        functools.partial(_is_pmc_blocked_kernel, dim=dim, kb=kb,
+                          student_t=student_t, t_student_t=t_student_t,
+                          dof_stats=dof_stats, tiny=tiny_v, n_orig=n),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*operands)
+    g_blocks = _gram_panels_to_blocks(gp, K_pad, dim, kb)
+    stats = {
+        "s0": s0[:K, 0],
+        "s0c": s0c[:K, 0],
+        "sd": sd.reshape(K_pad, dim)[:K],
+        "g": g_blocks[:K],
+        "sw": sw[:, 0],
+        "t1": t1[:K, 0],
+    }
+    return x[:, :n], lat[0, :n], w[0, :n], stats

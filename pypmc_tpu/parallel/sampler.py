@@ -25,6 +25,10 @@ from ..tools.indicator import merge_function_with_indicator as _indmerge
 from .._rng import as_jax_key
 from .mesh import PARTICLE_AXIS, particle_mesh
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 __all__ = ["ParallelSampler", "run_is_step_sharded", "pmc_run_sharded",
            "PMCStepStats", "clear_step_cache"]
 
@@ -103,6 +107,8 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     """Draw ``n_total`` importance samples with the particle axis sharded
     over ``mesh``; return globally-sharded ``(samples_T (D, n_total),
     weights, latent)`` -- particles in the transposed device layout.
+    ``n_total`` is rounded UP to the next multiple of the mesh size when
+    not divisible (the arrays are sized accordingly).
 
     ``target`` is a jittable log-density callable, or a
     :class:`~pypmc_tpu.density.core.MixtureParams` (then the target is
@@ -115,11 +121,11 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
     if mesh is None:
         mesh = particle_mesh()
     n_dev = mesh.devices.size
-    assert n_total % n_dev == 0, (
-        "n_total (%d) must be divisible by the number of devices (%d)"
-        % (n_total, n_dev)
-    )
-    n_local = n_total // n_dev
+    n_local = -(-int(n_total) // n_dev)   # ceil: any n_total is accepted
+    if n_local * n_dev != n_total:
+        logger.info(
+            "n_total=%d is not divisible by %d devices; drawing %d instead",
+            n_total, n_dev, n_local * n_dev)
 
     token, tp, target_of = _target_token(target)
     cache_key = ("is_step", token, mesh, n_local, axis_name)
@@ -170,7 +176,9 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     :param params: initial stacked mixture
         (:class:`~pypmc_tpu.density.core.MixtureParams`); Student-t iff
         ``params.dof`` is not None.
-    :param n_total: total particles per step (divisible by mesh size).
+    :param n_total: total particles per step; rounded UP to the next
+        multiple of the mesh size when not divisible (the reference's MPI
+        sampler similarly takes a per-rank count, ``tools/parallel_sampler.py:35``).
     :param n_steps: number of PMC adaptation steps.
 
     :param scan_steps: if True, run ALL steps inside one compiled
@@ -190,11 +198,11 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
     if key is None:
         key = jax.random.PRNGKey(0)
     n_dev = mesh.devices.size
-    assert n_total % n_dev == 0, (
-        "n_total (%d) must be divisible by the number of devices (%d)"
-        % (n_total, n_dev)
-    )
-    n_local = n_total // n_dev
+    n_local = -(-int(n_total) // n_dev)   # ceil: any n_total is accepted
+    if n_local * n_dev != n_total:
+        logger.info(
+            "n_total=%d is not divisible by %d devices; drawing %d per step",
+            n_total, n_dev, n_local * n_dev)
     is_t = params.is_student_t
 
     # commit the initial mixture to the mesh-replicated sharding the step

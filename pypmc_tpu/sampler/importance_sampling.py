@@ -46,7 +46,12 @@ def calculate_expectation(samples, weights, f):
     weights = jnp.asarray(weights)
     try:
         values = jax.vmap(f)(jnp.asarray(samples))
-    except Exception:
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+            jax.errors.TracerBoolConversionError,
+            jax.errors.TracerIntegerConversionError):
+        # ``f`` is genuinely untraceable (escapes the tracer) -- evaluate in
+        # a host loop.  Any other error is a real bug in ``f`` and propagates.
         values = jnp.asarray(_np.array([f(_np.asarray(x)) for x in _np.asarray(samples)]))
     return jnp.einsum("n,n...->...", weights, values) / jnp.sum(weights)
 
@@ -245,23 +250,45 @@ def combine_weights(samples, weights, proposals):
     return history
 
 
-def _proposal_log_q(proposal, y):
-    """(N,) log q(y) for one proposal (device-batched for mixtures)."""
-    return _np.asarray(proposal.multi_evaluate(_np.asarray(y)))
+def _stacked_proposal_params(proposals):
+    """Stacked device parameters for every proposal, or None if any
+    proposal is not a batched-evaluable mixture (host fallback)."""
+    if all(isinstance(p, MixtureDensity) and p.kind != "generic"
+           for p in proposals):
+        return [p.stacked_params() for p in proposals]
+    return None
+
+
+def _all_proposal_log_q(y, proposals, params):
+    """``(N_t, T)`` log-densities of ONE run's samples under ALL proposals.
+
+    With stacked mixture parameters the samples are uploaded ONCE
+    (transposed, the native layout) and every proposal is evaluated
+    on-device through the fused mixture kernel -- no per-(run, proposal)
+    host round trips (the reference loops T*T numpy evaluations,
+    ``importance_sampling.py:238-371``).
+    """
+    if params is not None:
+        yT = jnp.asarray(y).T
+        return jnp.stack(
+            [_core.mixture_logpdf_T(p, yT) for p in params], axis=-1)
+    return jnp.asarray(_np.column_stack(
+        [_np.asarray(p.multi_evaluate(_np.asarray(y))) for p in proposals]))
 
 
 def _combine_weights_log(samples, weights, proposals, history, N_total, N):
     # [Cor+12] Eq. (3) on the log scale:
     # log w_i^t = log(omega_i^t) + log q_t(y_i^t) + log(N_total)
     #             - log(sum_l N_l exp(log q_l(y_i^t)))
-    for t, this_proposal in enumerate(proposals):
+    params = _stacked_proposal_params(proposals)
+    for t in range(len(proposals)):
         combined = history.append(N[t])
-        y = samples[t]
-        q = _np.column_stack([_proposal_log_q(p, y) for p in proposals])
-        log_q_t = q[:, t]
-        log_w_t = _np.log(weights[t]) + log_q_t + _np.log(N_total)
-        log_w_t -= _np.asarray(logsumexp(jnp.asarray(q), jnp.asarray(N), axis=-1))
-        combined[:, 0] = _np.exp(log_w_t)
+        q = _all_proposal_log_q(samples[t], proposals, params)
+        n_arr = jnp.asarray(N, dtype=q.dtype)
+        log_w_t = (jnp.log(jnp.asarray(weights[t], dtype=q.dtype))
+                   + q[:, t] + jnp.log(jnp.asarray(N_total, dtype=q.dtype))
+                   - logsumexp(q, n_arr, axis=-1))
+        combined[:, 0] = _np.asarray(jnp.exp(log_w_t))
 
     sum_w = history[:][:, 0].sum()
     assert sum_w > 0, "Sum of weights <=0 (%g)" % sum_w
@@ -270,12 +297,13 @@ def _combine_weights_log(samples, weights, proposals, history, N_total, N):
 
 def _combine_weights_linear(samples, weights, proposals, history, N_total, N):
     # [Cor+12] Eq. (3) on the linear scale (needed for negative weights)
-    for t, this_proposal in enumerate(proposals):
+    params = _stacked_proposal_params(proposals)
+    for t in range(len(proposals)):
         combined = history.append(N[t])
-        denominator = _np.zeros(int(N[t]))
-        for j, prop in enumerate(proposals):
-            denominator += N[j] * _np.exp(_proposal_log_q(prop, samples[t]))
-        denominator /= N_total
-        numerator = _np.exp(_proposal_log_q(this_proposal, samples[t])) * weights[t]
-        combined[:, 0] = numerator / denominator
+        q = _all_proposal_log_q(samples[t], proposals, params)
+        n_arr = jnp.asarray(N, dtype=q.dtype)
+        denominator = jnp.einsum("l,nl->n", n_arr / N_total, jnp.exp(q))
+        numerator = (jnp.exp(q[:, t])
+                     * jnp.asarray(weights[t], dtype=q.dtype))
+        combined[:, 0] = _np.asarray(numerator / denominator)
     return history

@@ -1,0 +1,174 @@
+"""K-blocked Pallas kernels (large K*D) vs the dense kernels / XLA path,
+in interpreter mode on CPU.
+
+The blocked kernels exist to lift the dense kernels' K*D <= 128 VMEM cap
+(the reference's mixture-reduction workloads run at K=400,
+``examples/mixture_reduction.py:34-42``); they must be numerically
+interchangeable with the dense kernels wherever both run.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pypmc_tpu.density import core
+from pypmc_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(pk, "INTERPRET", True)
+
+
+def make_params(K, D, student_t, seed=0, dead=True):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(0, 2, size=(K, D)).astype(np.float32)
+    A = rng.normal(0, 0.3, size=(K, D, D)).astype(np.float32)
+    covs = (np.eye(D, dtype=np.float32)[None]
+            + np.einsum("kij,klj->kil", A, A)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, size=K).astype(np.float32)
+    if dead:
+        w[K // 2] = 0.0
+    dofs = rng.uniform(3, 12, size=K).astype(np.float32) if student_t else None
+    params, valid = core.make_mixture(means, covs, w, dofs)
+    assert bool(np.asarray(valid).all())
+    return params
+
+
+def make_data(D, N, seed=1):
+    rng = np.random.default_rng(seed)
+    xT = jnp.asarray(rng.normal(0, 2, size=(D, N)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, size=N).astype(np.float32))
+    return xT, w
+
+
+def test_block_kb_alignment():
+    for d in range(1, 64):
+        kb = pk.block_kb(d)
+        assert kb * d % 8 == 0, (d, kb)
+        assert kb % 8 == 0 or d > 16, (d, kb)
+        if d <= 16:
+            assert kb * d <= 128
+
+
+@pytest.mark.parametrize("K,D,student_t", [
+    (21, 10, False), (21, 10, True),     # nb=3, K not a block multiple
+    (400, 2, False), (400, 2, True),     # the mixture-reduction scale
+    (64, 40, False),                     # large D (kb=8, K_pad == K)
+])
+def test_pmc_stats_blocked_matches_dense(K, D, student_t):
+    params = make_params(K, D, student_t)
+    xT, w = make_data(D, 512)
+    a2, b2, log_norm, wk, dof_col, _ = core._pallas_operands(params, "inv_chol")
+    psi_c = None
+    dof_stats = student_t
+    if student_t:
+        psi_c = jax.scipy.special.digamma(
+            0.5 * (D + params.dof)).reshape(K, 1).astype(jnp.float32)
+    dense = pk.fused_pmc_stats(xT, w, a2, b2, log_norm, wk, dof_col, psi_c,
+                               dim=D, dof_stats=dof_stats)
+    blk = pk.fused_pmc_stats_blocked(xT, w, a2, b2, log_norm, wk, dof_col,
+                                     psi_c, dim=D, dof_stats=dof_stats)
+    for key in dense:
+        d, b = np.asarray(dense[key]), np.asarray(blk[key])
+        assert b.shape == d.shape, key
+        np.testing.assert_allclose(b, d, rtol=5e-4, atol=5e-4, err_msg=key)
+
+
+def test_pmc_stats_blocked_in_pmc_update():
+    """pmc_update dispatches to the blocked kernel past K*D=128 and agrees
+    with the unfused XLA path."""
+    import pypmc_tpu.mix_adapt.pmc as pmc_mod
+
+    K, D = 80, 2   # K*D = 160 > 128
+    params = make_params(K, D, True, dead=False)
+    xT, w = make_data(D, 2048)
+    ref = pmc_mod.pmc_update(params, xT, w, transposed=True)
+
+    # force the blocked fused path (interpret mode); the dispatch happens at
+    # trace time, so drop the cached unfused trace first
+    import pypmc_tpu.density.core as dcore
+    orig = dcore.use_pallas
+    pmc_mod.pmc_update.clear_cache()
+    try:
+        dcore.use_pallas = lambda *a, **k: True
+        fused = pmc_mod.pmc_update(params, xT, w, transposed=True)
+    finally:
+        dcore.use_pallas = orig
+        pmc_mod.pmc_update.clear_cache()
+    assert fused.rho is None
+    np.testing.assert_allclose(np.asarray(fused.params.weights),
+                               np.asarray(ref.params.weights),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.params.means),
+                               np.asarray(ref.params.means),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fused.params.cov),
+                               np.asarray(ref.params.cov),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused.params.dof),
+                               np.asarray(ref.params.dof),
+                               rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("K,D", [(21, 10), (400, 2), (64, 40)])
+def test_vb_estep_blocked_matches_dense(K, D):
+    rng = np.random.default_rng(3)
+    N = 512
+    xT, w = make_data(D, N)
+    m = rng.normal(0, 2, size=(K, D)).astype(np.float32)
+    A = rng.normal(0, 0.2, size=(K, D, D)).astype(np.float32)
+    W = (np.eye(D, dtype=np.float32)[None] * 0.5
+         + np.einsum("kij,klj->kil", A, A)).astype(np.float32)
+    nu = rng.uniform(D + 1, D + 20, size=K).astype(np.float32)
+    chol_W = np.linalg.cholesky(W)
+    Amat = (np.sqrt(nu)[:, None, None]
+            * np.transpose(chol_W, (0, 2, 1))).astype(np.float32)
+    a2 = jnp.asarray(Amat.reshape(K * D, D))
+    b2 = jnp.asarray(np.einsum("kij,kj->ki", Amat, m).reshape(K * D, 1))
+    const = jnp.asarray(rng.normal(0, 1, size=(K, 1)).astype(np.float32))
+
+    dense = pk.fused_vb_estep(xT, w, a2, b2, const, dim=D)
+    blk = pk.fused_vb_estep_blocked(xT, w, a2, b2, const, dim=D)
+    names = ["N_comp", "sd", "g", "log_q_Z"]
+    for name, d, b in zip(names, dense, blk):
+        d, b = np.asarray(d), np.asarray(b)
+        assert b.shape == d.shape, name
+        np.testing.assert_allclose(b, d, rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_vb_estep_blocked_via_gaussian_inference():
+    """The VB E-step dispatches to the blocked kernel past K*D=128 and
+    matches the plain XLA E-step."""
+    from pypmc_tpu.mix_adapt.variational import GaussianInference
+
+    N, D, K = 2048, 2, 80   # K*D = 160 > 128
+    rng = np.random.default_rng(5)
+    data = rng.normal(0, 1, size=(N, D)) + rng.integers(0, 3, size=(N, 1)) * 3.0
+
+    import pypmc_tpu.density.core as dcore
+    orig = dcore.use_pallas
+    try:
+        dcore.use_pallas = lambda *a, **k: True
+        vb_fused = GaussianInference(jnp.asarray(data, dtype=jnp.float32),
+                                     components=K, initial_guess="first")
+        assert vb_fused._fused_eligible() == "blocked"
+        fused_bound = vb_fused.likelihood_bound()
+    finally:
+        dcore.use_pallas = orig
+    vb_ref = GaussianInference(jnp.asarray(data, dtype=jnp.float32),
+                               components=K, initial_guess="first")
+    assert not vb_ref._fused_eligible()
+    ref_bound = vb_ref.likelihood_bound()
+    # f32 responsibilities are exponentially sensitive to the quadratic's
+    # rounding; the fused path factors it differently (|A(x-m)|^2 with
+    # A = sqrt(nu) chol(W)^T), so component statistics agree to ~1%
+    np.testing.assert_allclose(np.asarray(vb_fused.N_comp),
+                               np.asarray(vb_ref.N_comp), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(vb_fused.x_mean_comp),
+                               np.asarray(vb_ref.x_mean_comp),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(vb_fused.S), np.asarray(vb_ref.S),
+                               rtol=2e-2, atol=2e-2)
+    assert abs(fused_bound - ref_bound) / abs(ref_bound) < 1e-3
