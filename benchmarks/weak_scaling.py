@@ -28,6 +28,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 
+def comm_volume_bytes(K, D, n_total, dtype_bytes=4, student_t=True,
+                      log_likelihood=True):
+    """Exact per-step all-reduce payload of the sharded PMC step (floats
+    psum'ed in ``pmc_update``/``run_is_step_sharded``), vs the reference's
+    gather-to-rank-0 volume (samples + weights,
+    ``tools/parallel_sampler.py:61-66``)."""
+    # s0, s0c (K,) each; sd (K, D); g (K, D, D); dof t1 (K,);
+    # weight normalization (1); diagnostics sum_w, sum_w2, sum_wlogw, n (4)
+    floats = 2 * K + K * D + K * D * D + 1 + 4
+    if student_t:
+        floats += K          # t1 (dof-condition statistic)
+    if log_likelihood:
+        floats += 1          # psum'ed eq.(5) bound
+    ref_gather = n_total * (D + 1) * 8   # float64 samples + weights
+    return dict(psum_bytes_per_step=floats * dtype_bytes,
+                reference_gather_bytes_per_step=ref_gather,
+                ratio=ref_gather / (floats * dtype_bytes))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device", type=int, default=1 << 20,
@@ -35,6 +54,10 @@ def main():
     ap.add_argument("--dim", type=int, default=10)
     ap.add_argument("--components", type=int, default=10)
     ap.add_argument("--steps", type=int, default=5, help="timed steps per size")
+    ap.add_argument("--compare-scan", action="store_true",
+                    help="also time scan_steps=True (whole run in one "
+                         "compiled scan, no per-step host round-trip) vs "
+                         "the host-loop mode")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +114,30 @@ def main():
         print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"weak_scaling": results}))
+    print(json.dumps({"comm_volume": comm_volume_bytes(
+        K, D, args.per_device * sizes[-1])}))
+
+    if args.compare_scan:
+        # per-step host round-trip (loop mode) vs one compiled lax.scan over
+        # all steps: quantifies the dispatch/sync overhead the scan mode
+        # removes (relevant through this environment's ~23 ms tunnel floor).
+        mesh = particle_mesh(all_devices[: sizes[-1]])
+        n_total = args.per_device * sizes[-1]
+        out = {}
+        for scan in (False, True):
+            # warm up with the SAME step count: n_steps is a static arg of
+            # the compiled scan, so a different count recompiles
+            pmc_run_sharded(log_target, params0, n_total, args.steps,
+                            mesh=mesh, key=jax.random.PRNGKey(0),
+                            scan_steps=scan)
+            t0 = time.perf_counter()
+            pmc_run_sharded(log_target, params0, n_total, args.steps,
+                            mesh=mesh, key=jax.random.PRNGKey(1),
+                            scan_steps=scan)
+            out["scan" if scan else "loop"] = round(
+                (time.perf_counter() - t0) / args.steps * 1e3, 2)
+        print(json.dumps({"ms_per_step": out, "devices": sizes[-1],
+                          "steps": args.steps}))
 
 
 if __name__ == "__main__":

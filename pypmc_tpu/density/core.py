@@ -335,9 +335,16 @@ def propose_T(params: MixtureParams, key, n: int):
                 dim=params.dim,
             )
     else:
-        scaled = jnp.einsum("nij,jn->ni", params.chol[latent], zT,
-                            precision="highest")
-        samples_T = (params.means[latent] + scaled * scale[:, None]).T
+        # XLA path: gather (D, K) column panels of the Cholesky factors and
+        # accumulate over j, instead of gathering an (N, D, D) table -- on
+        # TPU the gathered f32[N, D, D] pads its last axis to 128 lanes
+        # (64x HBM expansion at D=2: OOM at the 10^7-particle scale), while
+        # a gathered (D, N) panel only pads sublanes (<= 4x, D-independent)
+        acc = jnp.zeros_like(zT)
+        for j in range(params.dim):
+            Lj = params.chol[:, :, j].T            # (D, K), column j per k
+            acc = acc + Lj[:, latent] * zT[j][None, :]
+        samples_T = params.means.T[:, latent] + acc * scale[None, :]
     return samples_T, latent
 
 

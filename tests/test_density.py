@@ -207,6 +207,29 @@ class TestCore:
             expected_cov = DOFS[k] / (DOFS[k] - 2.0) * COVS[k]
             assert np.allclose(np.cov(sel, rowvar=0), expected_cov, rtol=0.12, atol=0.06)
 
+    def test_propose_fallback_matches_dense_gather(self):
+        """The XLA fallback of ``propose_T`` gathers (D, K) Cholesky-column
+        panels (an (N, D, D) gather pads its last axis to 128 lanes on TPU:
+        64x HBM expansion at D=2).  Pin it against the dense-gather
+        formulation on the same draws."""
+        params, _ = core.make_mixture(MEANS, COVS, WEIGHTS, DOFS)
+        n = 4096
+        samples_T, latent = core.propose_T(params, jax.random.PRNGKey(11), n)
+        samples_T, latent = np.asarray(samples_T), np.asarray(latent)
+        # reconstruct z and scale exactly as propose_T derives them
+        k_cat, k_norm, k_chi = jax.random.split(jax.random.PRNGKey(11), 3)
+        dtype = params.means.dtype
+        zT = np.asarray(jax.random.normal(k_norm, (params.dim, n), dtype=dtype))
+        dof_n = np.asarray(params.dof)[latent]
+        chi2 = np.asarray(jax.random.chisquare(k_chi, dof_n, shape=(n,),
+                                               dtype=dtype))
+        scale = np.sqrt(dof_n / chi2)
+        chol = np.asarray(params.chol)
+        expected = (np.asarray(params.means)[latent]
+                    + np.einsum("nij,jn->ni", chol[latent], zT)
+                    * scale[:, None]).T
+        assert np.allclose(samples_T, expected, atol=1e-10)
+
     def test_dead_component_never_drawn(self):
         w = np.array([0.5, 0.0, 0.5])
         params, _ = core.make_mixture(MEANS, COVS, w)

@@ -279,6 +279,30 @@ class TestPMCDriver:
         with pytest.raises(TypeError):
             PMC(SAMPLES, "not a mixture")
 
+    def test_run_terminates_under_bound_oscillation(self, monkeypatch):
+        """float32 fused paths can make the log-likelihood oscillate at the
+        last few ulps instead of increasing monotonically; the convergence
+        loop must neither hang nor declare convergence on a decrease step."""
+        mix = create_gaussian_mixture(MEANS0, COVS0, ALPHA0)
+        pmc = PMC(SAMPLES, mix, weights=WEIGHTS)
+        calls = {"n": 0}
+
+        def oscillating_bound():
+            calls["n"] += 1
+            return -1.0 + (1e-6 if calls["n"] % 2 == 0 else -1e-6)
+
+        monkeypatch.setattr(pmc, "log_likelihood", oscillating_bound)
+        monkeypatch.setattr(pmc, "_update_once", lambda: None)
+        # strict alternation never satisfies increase-within-tol at tight
+        # tolerances: the loop must exhaust its iterations and return None
+        assert pmc.run(iterations=30, rel_tol=1e-12, abs_tol=1e-15) is None
+        # with a loose tolerance it converges -- and only on an INCREASE step
+        calls["n"] = 0
+        it = pmc.run(iterations=30, rel_tol=1e-3)
+        assert it is not None
+        # the step it converged on saw bound > old_bound (even call index)
+        assert calls["n"] % 2 == 0
+
     def test_end_to_end_bimodal_recovery(self):
         """Full IS+PMC loop on the reference's flagship workload
         (examples/pmc.py): bimodal 2-D Gaussian target with weights

@@ -197,6 +197,26 @@ class TestConvergence:
         converged = vb.run(iterations=500, prune=0.0)
         assert converged is not None
 
+    def test_run_terminates_under_bound_oscillation(self, monkeypatch):
+        """The fused float32 E-step can leave the bound oscillating at ulp
+        scale; ``run`` must neither hang nor converge on a decrease step."""
+        vb = make_vb()
+        calls = {"n": 0}
+
+        def oscillating(*_a, **_k):
+            calls["n"] += 1
+            return -100.0 + (1e-4 if calls["n"] % 2 == 0 else -1e-4)
+
+        monkeypatch.setattr(vb, "likelihood_bound", oscillating)
+        monkeypatch.setattr(vb, "_update_with_bound", oscillating)
+        monkeypatch.setattr(vb, "prune", lambda *_a, **_k: None)
+        assert vb.run(iterations=30, prune=0.0,
+                      rel_tol=1e-12, abs_tol=1e-15) is None
+        calls["n"] = 0
+        it = vb.run(iterations=30, prune=0.0, rel_tol=1e-3)
+        assert it is not None
+        assert calls["n"] % 2 == 0  # converged on an increase step
+
     def test_run_with_prune_finds_two_clusters(self):
         vb = GaussianInference(DATA, components=6, alpha0=1e-5, beta0=1e-5)
         vb.run(iterations=1000, prune=1.0)
