@@ -40,11 +40,19 @@ def make_target():
     return log_target, cov
 
 
-def bench_pool(C):
+def bench_pool(C, fused=False):
     import jax
     from pypmc_tpu.sampler import sample_adaptive_chains
 
-    log_target, _ = make_target()
+    log_target, cov = make_target()
+    if fused:
+        # same quadratic target expressed as a 1-component Gaussian mixture
+        # (the normalization constant cancels in the Metropolis ratio) --
+        # routes through the one-kernel-per-cycle fused_mcmc_pool on TPU
+        from pypmc_tpu.density import core
+
+        log_target, _ = core.make_mixture(
+            np.zeros((1, D), np.float32), cov[None].astype(np.float32))
     rng = np.random.default_rng(0)
     starts = rng.normal(0, 1, size=(C, D)).astype(np.float32)
     sigma0 = (np.eye(D, dtype=np.float32) * 2.38**2 / D)
@@ -89,7 +97,11 @@ if __name__ == "__main__":
     single = bench_single_host()
     print("single host-driven chain:        %10.0f steps/s" % single,
           flush=True)
-    for C in (1, 64, 1024, 4096):
+    for C in (1, 64, 1024, 4096, 16384):
         sps, rate = bench_pool(C)
         print("pool C=%-5d %12.0f chain-steps/s  (%.0fx single; accept %.2f)"
+              % (C, sps, sps / single, rate), flush=True)
+    for C in (1024, 4096, 16384):
+        sps, rate = bench_pool(C, fused=True)
+        print("FUSED pool C=%-5d %12.0f chain-steps/s  (%.0fx single; accept %.2f)"
               % (C, sps, sps / single, rate), flush=True)

@@ -364,6 +364,65 @@ def main():
           and np.isclose(draws.mean(), 8.0, rtol=0.02)
           and np.isclose(draws.var(), 16.0, rtol=0.05))
 
+    # ---- 8. fused MCMC chain pool ---- #
+    from pypmc_tpu.ops.pallas_kernels import fused_mcmc_pool
+
+    dm = 4
+    t_mean = rng.normal(0, 1, size=(1, dm)).astype(np.float32)
+    am = rng.normal(0, 0.3, size=(1, dm, dm)).astype(np.float32)
+    t_cov = (np.eye(dm, dtype=np.float32)[None]
+             + np.einsum("kij,klj->kil", am, am)).astype(np.float32)
+    mc_params, mc_valid = core.make_mixture(t_mean, t_cov)
+    assert bool(np.asarray(mc_valid).all())
+    t_ops = core._pallas_operands(mc_params, "inv_chol")
+    Cc, n_mc = 2048, 1000
+    x0 = (t_mean[0][None, :]
+          + rng.normal(0, 1, size=(Cc, dm))).astype(np.float32)
+    x0T = jnp.asarray(x0.T.copy())
+    e0 = core.mixture_logpdf_T(mc_params, x0T)
+    pchol = (np.linalg.cholesky(t_cov[0]) * (2.38 / np.sqrt(dm))).astype(np.float32)
+    cholr = jnp.asarray(np.ascontiguousarray(
+        np.broadcast_to(pchol, (Cc, dm, dm)).transpose(1, 2, 0)
+    ).reshape(dm * dm, Cc))
+    pts, acc, xf, ef = fused_mcmc_pool(
+        jnp.array([11, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
+        n_steps=n_mc, dim=dm)
+    pts = np.asarray(pts)
+    rate = float(np.asarray(acc).mean()) / n_mc
+    # final-state consistency: last point == xf, ef == logpdf(xf)
+    ok = np.allclose(pts[-1], np.asarray(xf))
+    ok &= np.allclose(np.asarray(core.mixture_logpdf_T(mc_params, xf)),
+                      np.asarray(ef), rtol=1e-3, atol=1e-3)
+    # optimally-scaled random walk on a Gaussian target: accept ~0.23-0.45
+    ok &= 0.15 < rate < 0.55
+    # moment recovery over the pooled post-burn-in points
+    kept = pts[n_mc // 2:].transpose(0, 2, 1).reshape(-1, dm)
+    ok &= np.allclose(kept.mean(axis=0), t_mean[0], atol=0.1)
+    ok &= np.allclose(np.cov(kept, rowvar=False), t_cov[0], atol=0.2)
+    # determinism per seed
+    pts2, _, _, _ = fused_mcmc_pool(
+        jnp.array([11, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
+        n_steps=n_mc, dim=dm)
+    ok &= np.array_equal(pts, np.asarray(pts2))
+    # distinct across seeds
+    pts3, _, _, _ = fused_mcmc_pool(
+        jnp.array([12, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
+        n_steps=n_mc, dim=dm)
+    ok &= not np.array_equal(pts, np.asarray(pts3))
+    check("fused MCMC chain pool (moments/accept/determinism)", bool(ok))
+
+    # Student-t proposal variant: heavier steps, still correct moments
+    pts_t, acc_t, _, _ = fused_mcmc_pool(
+        jnp.array([5, 3], jnp.int32), x0T, e0, cholr, 5.0, t_ops,
+        n_steps=n_mc, dim=dm)
+    kept_t = np.asarray(pts_t)[n_mc // 2:].transpose(0, 2, 1).reshape(-1, dm)
+    rate_t = float(np.asarray(acc_t).mean()) / n_mc
+    check("fused MCMC chain pool (Student-t proposal)",
+          bool(0.1 < rate_t < 0.55
+               and np.allclose(kept_t.mean(axis=0), t_mean[0], atol=0.1)
+               and np.allclose(np.cov(kept_t, rowvar=False), t_cov[0],
+                               atol=0.2)))
+
     print("%d checks failed" % len(failures))
     sys.exit(1 if failures else 0)
 

@@ -49,9 +49,9 @@ __all__ = ["fused_logq", "fused_rho", "fused_maha", "fused_transform",
            "fused_transform_rng", "fused_propose_logq", "fused_pmc_stats",
            "fused_vb_estep", "fused_is_pmc_step",
            "fused_pmc_stats_blocked", "fused_vb_estep_blocked",
-           "fused_is_pmc_step_blocked",
+           "fused_is_pmc_step_blocked", "fused_mcmc_pool",
            "pick_tile", "fits_vmem", "block_kb", "fits_vmem_blocked",
-           "pick_tile_blocked"]
+           "pick_tile_blocked", "pick_chain_block"]
 
 # set True (e.g. from tests) to run the kernels in the Pallas interpreter --
 # lets the kernel logic be verified on the CPU backend
@@ -1892,3 +1892,184 @@ def fused_is_pmc_step_blocked(seed, cumw, ct2, mu2, dof_row,
         "t1": t1[:K, 0],
     }
     return x[:, :n], lat[0, :n], w[0, :n], stats
+
+
+# ------------------------------------------------------------------ #
+# Fused adaptive-Metropolis chain pool                                 #
+# ------------------------------------------------------------------ #
+
+def _mcmc_bytes_per_lane(dim: int, kt: int, sc: int) -> int:
+    """Per-chain-lane VMEM cost estimate for the MCMC pool kernel: the
+    per-chain Cholesky rows plus its two (D*D, CB) transients, the target
+    evaluation transients, the ``sc``-step output chunk and state rows."""
+    return 4 * (3 * _pad8(dim * dim) + 2 * _pad8(kt * (dim + 1))
+                + sc * _pad8(dim) + _pad8(kt) + 10 * _pad8(dim) + 16)
+
+
+def pick_chain_block(dim: int, kt: int, sc: int, student_t_prop: bool,
+                     vmem_budget_bytes: int = _VMEM_BUDGET) -> int:
+    """Chain-block (lane) size for :func:`fused_mcmc_pool`: a multiple of
+    the RNG quantum (1024) when the proposal is Student-t (the in-kernel
+    chi-square runs in the :func:`_rows8` layout), else of the 128-lane
+    vreg width."""
+    q = QUANTUM_RNG if student_t_prop else QUANTUM_EVAL
+    cb = vmem_budget_bytes // max(1, _mcmc_bytes_per_lane(dim, kt, sc))
+    cb = max(q, min(8192, int(cb)))
+    return (cb // q) * q
+
+
+def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
+                      tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
+                      x0_ref, e0_ref,
+                      out_ref, acc_ref, xf_ref, ef_ref, *,
+                      dim, sc, student_t_prop, t_student_t):
+    """``sc`` adaptive-Metropolis steps of a whole chain block per grid
+    step, the chain state never leaving VMEM.
+
+    Chains live on the LANE axis: the current points ``(D, CB)`` and target
+    values ``(1, CB)`` are carried in the constant-index output buffers
+    ``xf``/``ef`` across the (sequential) step-chunk grid axis, so across
+    the entire cycle each chain's state is read and written exactly once in
+    HBM.  Per step: standard normals from the hardware PRNG, the per-chain
+    proposal ``delta = chol_c @ z_c`` as a selector-expand + row-product +
+    block-sum contraction (no (CB, D, D) gather), optional Student-t
+    chi-square scale (Marsaglia-Tsang in the 8-row layout), the mixture
+    target evaluated on the VMEM-resident proposed tile, and the Metropolis
+    accept against an in-kernel uniform.
+
+    Reference semantics: the ``run`` hot loop of
+    ``sampler/markov_chain.py:100-165`` with a symmetric proposal, vmapped
+    over chains (the reference loops one Python object per chain).
+    """
+    j = pl.program_id(0)            # chain block (slow axis)
+    i = pl.program_id(1)            # step chunk (fast axis, sequential)
+    n_i = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + j * n_i + i)
+
+    @pl.when(i == 0)
+    def _init():
+        xf_ref[:] = x0_ref[:]
+        ef_ref[:] = e0_ref[:]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cur = xf_ref[:]                 # (D, CB)
+    cur_e = ef_ref[:]               # (1, CB)
+    acc = acc_ref[:]
+    cb = cur.shape[1]
+    dd = dim * dim
+    # zexp[d*D+e, c] = z[e, c]; delta[d, c] = sum_e cholr[d*D+e, c] zexp
+    posT = _pos_selector(dim, dd, jnp.float32).T     # (D*D, D)
+    blocksel = _block_selector(dim, dd, dim, jnp.float32)  # (D, D*D)
+    cholr = cholr_ref[:]
+    tdof = tdof_ref[:] if t_student_t else None
+    for s in range(sc):
+        z = _kernel_normal_rows(dim, cb)             # (D, CB)
+        zexp = _dot_sel(posT, z)                     # (D*D, CB), exact
+        delta = _dot_acc(blocksel, cholr * zexp)     # (D, CB)
+        if student_t_prop:
+            dof8 = jnp.full((8, cb // 8), dofp_ref[0, 0], jnp.float32)
+            log_chi2 = _kernel_log_chi2(dof8)
+            scale8 = jnp.exp(0.5 * (jnp.log(dof8) - log_chi2))
+            delta = delta * _unrows8(scale8)
+        proposed = cur + delta
+        t_ind = _component_logpdfs_tile(proposed, tc_ref[:], ta_ref[:],
+                                        tln_ref[:], tdof, dim)
+        prop_e = _weighted_lse(t_ind, tw_ref[:])     # (1, CB)
+        # u in (0, 1]: log_u <= 0, so log_rho >= 0 always accepts --
+        # exactly the reference's rho >= 1 shortcut
+        log_u = jnp.log(_kernel_uniform((1, cb), offset=1))
+        log_rho = prop_e - cur_e
+        accept = (~jnp.isnan(log_rho)) & (log_rho >= log_u)
+        cur = jnp.where(accept, proposed, cur)
+        cur_e = jnp.where(accept, prop_e, cur_e)
+        acc = acc + accept.astype(jnp.float32)
+        out_ref[s] = cur
+    xf_ref[:] = cur
+    ef_ref[:] = cur_e
+    acc_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "dim"))
+def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
+    """Run ``C`` symmetric-proposal Metropolis chains for ``n_steps`` steps
+    against a mixture target, entirely in one Pallas kernel (see
+    :func:`_mcmc_pool_kernel`).
+
+    :param seed: int32 seed, scalar or ``(2,)``.
+    :param x0T: ``(D, C)`` starting points, chains on lanes.
+    :param e0: ``(C,)`` target log-density at the starting points.
+    :param cholr: ``(D*D, C)`` per-chain proposal Cholesky factors,
+        ``cholr[d*D + e, c] = chol_c[d, e]``
+        (``chols.transpose(1, 2, 0).reshape(D*D, C)``).
+    :param dof_prop: scalar Student-t proposal dof, or None for Gaussian.
+    :param target: tuple ``(ta2, tb2, tlog_norm, tweights, tdof_col,
+        tcenter)`` of mixture evaluation operands as :func:`fused_logq`.
+    :returns: ``(points (n_steps, D, C), accepts (C,), xfT (D, C),
+        ef (C,))`` -- every visited point (after-move state per step), the
+        per-chain accept counts, and the final state.
+    """
+    C = x0T.shape[1]
+    kt = target[0].shape[0] // dim
+    student_t_prop = dof_prop is not None
+    # largest step-chunk <= 8 dividing n_steps (out chunks must tile evenly)
+    sc = max(s for s in range(1, 9) if n_steps % s == 0)
+    cb = pick_chain_block(dim, kt, sc, student_t_prop)
+    c_pad = (C + cb - 1) // cb * cb
+    dtype = x0T.dtype
+    dd = dim * dim
+
+    x0p, _ = _pad_lanes(x0T, cb)
+    e0p, _ = _pad_lanes(e0[None, :].astype(dtype), cb)
+    # padded chains run a unit-Cholesky random walk and are sliced away
+    eye_r = jnp.eye(dim, dtype=dtype).reshape(dd, 1)
+    cholr_p = jnp.concatenate(
+        [cholr, jnp.broadcast_to(eye_r, (dd, c_pad - C))], axis=1
+    ) if c_pad != C else cholr
+
+    ta2, tb2, tln, tw, tdof, tcenter = target
+    t_student_t = tdof is not None
+    if tdof is None:
+        tdof = jnp.ones((kt, 1), dtype=dtype)
+    dofp = jnp.full((1, 1), 1.0 if dof_prop is None else dof_prop, dtype)
+
+    grid = (c_pad // cb, n_steps // sc)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda j, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    chain = lambda rows: pl.BlockSpec(
+        (rows, cb), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+
+    operands = [
+        _seed2(seed), cholr_p, dofp,
+        _center_or_zero(tcenter, dim, dtype),
+        _aug_eval_operand(ta2, tb2, tcenter), tln, tw, tdof,
+        x0p, e0p,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        chain(dd), rep((1, 1)),
+        rep((dim, 1)), rep((kt * dim, dim + 1)),
+        rep((kt, 1)), rep((kt, 1)), rep((kt, 1)),
+        chain(dim), chain(1),
+    ]
+    out_specs = [
+        pl.BlockSpec((sc, dim, cb), lambda j, i: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        chain(1), chain(dim), chain(1),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_steps, dim, c_pad), dtype),
+        jax.ShapeDtypeStruct((1, c_pad), dtype),
+        jax.ShapeDtypeStruct((dim, c_pad), dtype),
+        jax.ShapeDtypeStruct((1, c_pad), dtype),
+    ]
+    points, acc, xf, ef = pl.pallas_call(
+        functools.partial(_mcmc_pool_kernel, dim=dim, sc=sc,
+                          student_t_prop=student_t_prop,
+                          t_student_t=t_student_t),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*operands)
+    return points[:, :, :C], acc[0, :C], xf[:, :C], ef[0, :C]

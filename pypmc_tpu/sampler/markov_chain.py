@@ -36,27 +36,30 @@ def _make_mc_kernel(target, dim, is_t):
     the visited points, their target values, accept flags and NaN flags."""
 
     def kernel(key, start, start_eval, chol, dof, n):
-        def step(carry, key_i):
+        # all randomness is drawn in three bulk vectorized passes BEFORE the
+        # scan -- per-step key splits + tiny threefry draws inside the loop
+        # dominate an otherwise trivial step body on TPU
+        k_norm, k_chi, k_u = jax.random.split(key, 3)
+        z_all = jax.random.normal(k_norm, (n, dim), dtype=start.dtype)
+        log_u_all = jnp.log(jax.random.uniform(k_u, (n,), dtype=start.dtype))
+        if is_t:
+            chi2_all = jax.random.chisquare(k_chi, dof, (n,), dtype=start.dtype)
+            z_all = z_all * jnp.sqrt(dof / chi2_all)[:, None]
+
+        def step(carry, xs):
             current, current_eval = carry
-            k_norm, k_chi, k_u = jax.random.split(key_i, 3)
-            z = jax.random.normal(k_norm, (dim,), dtype=start.dtype)
-            delta = chol @ z
-            if is_t:
-                chi2 = jax.random.chisquare(k_chi, dof, dtype=start.dtype)
-                delta = delta * jnp.sqrt(dof / chi2)
-            proposed = current + delta
+            z, log_u = xs
+            proposed = current + chol @ z
             proposed_eval = target(proposed)
             log_rho = proposed_eval - current_eval  # symmetric proposal
             is_nan = jnp.isnan(log_rho)
-            u = jax.random.uniform(k_u, dtype=start.dtype)
-            accept = (~is_nan) & ((log_rho >= 0) | (log_rho >= jnp.log(u)))
+            accept = (~is_nan) & ((log_rho >= 0) | (log_rho >= log_u))
             current = jnp.where(accept, proposed, current)
             current_eval = jnp.where(accept, proposed_eval, current_eval)
             return (current, current_eval), (current, current_eval, accept, is_nan)
 
-        keys = jax.random.split(key, n)
         (current, current_eval), (points, evals, accepts, nans) = jax.lax.scan(
-            step, (start, start_eval), keys
+            step, (start, start_eval), (z_all, log_u_all)
         )
         return points, evals, jnp.sum(accepts), jnp.any(nans), current, current_eval
 
@@ -309,7 +312,12 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     objects (``examples/uniting_markov_chains_and_variational_bayes.py:72-87``)
     with one compiled computation per cycle.
 
-    :param target: jittable ``x -> log P(x)``.
+    :param target: jittable ``x -> log P(x)``, or a
+        :class:`~pypmc_tpu.density.core.MixtureParams` target -- on TPU a
+        mixture target routes each cycle through
+        :func:`~pypmc_tpu.ops.pallas_kernels.fused_mcmc_pool`, ONE Pallas
+        kernel per cycle with the chain state resident in VMEM (propose,
+        in-kernel RNG, target evaluation and the accept all fused).
     :param starts: ``(C, D)`` starting points (each must have finite target).
     :param sigma0: ``(D, D)`` or ``(C, D, D)`` initial proposal covariance.
     :param n_steps: steps per adaptation cycle.
@@ -319,10 +327,17 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
 
     Returns ``(samples (C, n_cycles*n_steps, D), accept_rates (C, n_cycles))``.
     """
+    from ..density import core as _core
+
     starts = jnp.asarray(starts)
     C, D = starts.shape
     if key is None:
         key = jax.random.PRNGKey(0)
+
+    mix_target = None
+    if isinstance(target, _core.MixtureParams):
+        mix_target = target
+        target = lambda x: _core.mixture_logpdf(mix_target, x[None, :])[0]
 
     covar_scale_multiplier = adapt_kwargs.pop("covar_scale_multiplier", 1.5)
     covar_scale_factor = adapt_kwargs.pop("covar_scale_factor", 2.38**2 / D)
@@ -341,35 +356,39 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     is_t = dof is not None
     dof_val = jnp.asarray(0.0 if dof is None else dof)
 
-    def chain_cycle(key, start, start_eval, chol, n):
-        def step(carry, key_i):
+    @partial(jax.jit, static_argnames=("n",))
+    def all_chains_cycle(key, currents, current_evals, chols, n):
+        # ONE scan over the step axis carrying the whole (C, D) chain-state
+        # block.  All randomness is bulk-drawn up front in STEP-major layout
+        # so every scan iteration reads a contiguous (C, D) slice -- both
+        # per-step threefry draws and chain-major (C, n, D) slicing (a
+        # strided gather per step) measurably dominate the tiny step body.
+        k_norm, k_chi, k_u = jax.random.split(key, 3)
+        z_all = jax.random.normal(k_norm, (n, C, D), dtype=starts.dtype)
+        log_u_all = jnp.log(jax.random.uniform(k_u, (n, C), dtype=starts.dtype))
+        if is_t:
+            chi2_all = jax.random.chisquare(k_chi, dof_val, (n, C),
+                                            dtype=starts.dtype)
+            z_all = z_all * jnp.sqrt(dof_val / chi2_all)[..., None]
+        vtarget = jax.vmap(target)
+
+        def step(carry, xs):
             current, current_eval = carry
-            k_norm, k_chi, k_u = jax.random.split(key_i, 3)
-            z = jax.random.normal(k_norm, (D,), dtype=starts.dtype)
-            delta = chol @ z
-            if is_t:
-                chi2 = jax.random.chisquare(k_chi, dof_val, dtype=starts.dtype)
-                delta = delta * jnp.sqrt(dof_val / chi2)
-            proposed = current + delta
-            proposed_eval = target(proposed)
+            z, log_u = xs
+            proposed = current + jnp.einsum("cde,ce->cd", chols, z)
+            proposed_eval = vtarget(proposed)
             log_rho = proposed_eval - current_eval
-            u = jax.random.uniform(k_u, dtype=starts.dtype)
-            accept = (~jnp.isnan(log_rho)) & ((log_rho >= 0) | (log_rho >= jnp.log(u)))
-            current = jnp.where(accept, proposed, current)
+            accept = (~jnp.isnan(log_rho)) & ((log_rho >= 0) | (log_rho >= log_u))
+            current = jnp.where(accept[:, None], proposed, current)
             current_eval = jnp.where(accept, proposed_eval, current_eval)
             return (current, current_eval), (current, accept)
 
-        keys = jax.random.split(key, n)
-        (current, current_eval), (points, accepts) = jax.lax.scan(
-            step, (start, start_eval), keys
+        (currents, current_evals), (points, accepts) = jax.lax.scan(
+            step, (currents, current_evals), (z_all, log_u_all)
         )
-        return points, jnp.mean(accepts.astype(points.dtype)), current, current_eval
-
-    @partial(jax.jit, static_argnames=("n",))
-    def all_chains_cycle(keys, currents, current_evals, chols, n):
-        return jax.vmap(chain_cycle, in_axes=(0, 0, 0, 0, None))(
-            keys, currents, current_evals, chols, n
-        )
+        return (points.transpose(1, 0, 2),
+                jnp.mean(accepts.astype(starts.dtype), axis=0),
+                currents, current_evals)
 
     @jax.jit
     def adapt_step(unscaled_sigma, scale_factor, points, accept_rate, adapt_count):
@@ -397,8 +416,34 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         chol = jnp.where(ok_full, chol, jnp.where(ok_diag, diag_chol, jnp.nan))
         return unscaled_sigma, scale_factor, chol, ok_full | ok_diag
 
+    use_fused = (
+        mix_target is not None
+        and starts.dtype == jnp.float32
+        and _core.use_pallas(starts, mix_target.K, D)
+    )
+    if use_fused:
+        from ..ops.pallas_kernels import fused_mcmc_pool
+
+        t_ops = _core._pallas_operands(mix_target, "inv_chol")
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fused_cycle(key, currentT, current_eval, chols, n):
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (2,), "uint32"), jnp.int32)
+            cholr = chols.transpose(1, 2, 0).reshape(D * D, C)
+            points, accepts, xf, ef = fused_mcmc_pool(
+                seed, currentT, current_eval, cholr,
+                None if dof is None else float(dof), t_ops,
+                n_steps=n, dim=D)
+            # (n, D, C) -> (C, n, D) to match the scan path's layout
+            return (points.transpose(2, 0, 1), accepts / n, xf, ef)
+
     current = starts
-    current_eval = jax.vmap(target)(starts)
+    currentT = starts.T
+    if mix_target is not None:
+        current_eval = _core.mixture_logpdf_T(mix_target, currentT)
+    else:
+        current_eval = jax.vmap(target)(starts)
     chols = jnp.linalg.cholesky(sigma0)
     unscaled = sigma0 / covar_scale_factor
     scale_factors = jnp.full((C,), covar_scale_factor, dtype=starts.dtype)
@@ -407,10 +452,14 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     all_rates = []
     for cycle in range(n_adapt_cycles):
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, C)
-        points, rates, current, current_eval = all_chains_cycle(
-            keys, current, current_eval, chols, int(n_steps)
-        )
+        if use_fused:
+            points, rates, currentT, current_eval = fused_cycle(
+                sub, currentT, current_eval, chols, int(n_steps)
+            )
+        else:
+            points, rates, current, current_eval = all_chains_cycle(
+                sub, current, current_eval, chols, int(n_steps)
+            )
         all_samples.append(points)
         all_rates.append(rates)
         unscaled, scale_factors, new_chols, ok = jax.vmap(adapt_step)(

@@ -193,3 +193,27 @@ class TestAdaptFallback:
         assert mc.covar_scale_factor == 0.1
         mc._update_scale_factor(accept_rate=0.0)   # below min: frozen
         assert mc.covar_scale_factor == 0.1
+
+
+def test_pool_mixture_target_cpu_path():
+    """``sample_adaptive_chains`` accepts a ``MixtureParams`` target; on CPU
+    (no Pallas) it routes through the scan kernel via the mixture's logpdf
+    and still recovers the target moments."""
+    from pypmc_tpu.density import core
+
+    rng = np.random.default_rng(5)
+    params, valid = core.make_mixture(
+        MU[None, :].astype(np.float32),
+        SIGMA[None].astype(np.float32),
+    )
+    assert bool(np.asarray(valid).all())
+    C = 48
+    starts = (MU[None, :] + rng.normal(0, 0.5, size=(C, 2))).astype(np.float32)
+    samples, rates = sample_adaptive_chains(
+        params, starts, np.eye(2, dtype=np.float32) * 2.38**2 / 2,
+        n_steps=400, n_adapt_cycles=3, key=jax.random.PRNGKey(4))
+    assert samples.shape == (C, 1200, 2)
+    assert rates.shape == (C, 3)
+    kept = np.asarray(samples[:, 400:, :]).reshape(-1, 2)
+    assert np.allclose(kept.mean(axis=0), MU, atol=0.15)
+    assert np.allclose(np.cov(kept, rowvar=False), SIGMA, atol=0.3)
