@@ -287,6 +287,14 @@ def propose_T(params: MixtureParams, key, n: int):
     latent = jnp.sum(u[None, :] >= cumw[:-1, None], axis=0).astype(jnp.int32)
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
+    from ..ops.pallas_kernels import QUANTUM_EVAL
+
+    # the in-kernel-RNG kernel needs 1024-lane tiles; the plain transform
+    # kernel only needs the 128-lane vreg quantum, so large K*D mixtures
+    # (e.g. K=64, D=40) still get the VMEM-resident parameter select
+    fused_eval = (
+        use_pallas(zT, params.K, params.dim, QUANTUM_EVAL) and n >= 1024
+    )
     fused_rng = (
         use_pallas(zT, params.K, params.dim) and n >= 1024
         and not os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")
@@ -302,7 +310,7 @@ def propose_T(params: MixtureParams, key, n: int):
     else:
         scale = jnp.ones((n,), dtype=dtype)
 
-    if use_pallas(zT, params.K, params.dim) and n >= 1024:
+    if fused_eval:
         # fused transform: the per-particle (D, D) parameter select happens
         # in VMEM instead of an (N, D, D) gather in HBM
         ct2 = params.chol.reshape(params.K * params.dim, params.dim)
@@ -339,11 +347,17 @@ def propose_T(params: MixtureParams, key, n: int):
         # accumulate over j, instead of gathering an (N, D, D) table -- on
         # TPU the gathered f32[N, D, D] pads its last axis to 128 lanes
         # (64x HBM expansion at D=2: OOM at the 10^7-particle scale), while
-        # a gathered (D, N) panel only pads sublanes (<= 4x, D-independent)
-        acc = jnp.zeros_like(zT)
-        for j in range(params.dim):
-            Lj = params.chol[:, :, j].T            # (D, K), column j per k
-            acc = acc + Lj[:, latent] * zT[j][None, :]
+        # a gathered (D, N) panel only pads sublanes (<= 4x, D-independent).
+        # The accumulation runs under lax.scan so only ONE gathered panel is
+        # live at a time (an unrolled loop kept all D panels live: 165 GB of
+        # compile-time HBM at K=64, D=40, N=2^23).
+        chol_cols = params.chol.transpose(2, 1, 0)  # (j, D, K)
+
+        def _acc_col(acc, col):
+            Lj, zj = col
+            return acc + Lj[:, latent] * zj[None, :], None
+
+        acc, _ = jax.lax.scan(_acc_col, jnp.zeros_like(zT), (chol_cols, zT))
         samples_T = params.means.T[:, latent] + acc * scale[None, :]
     return samples_T, latent
 

@@ -184,14 +184,17 @@ def pmc_update(
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
     if rb and _core.use_pallas(samples_T) and N >= 1024:
-        from ..ops.pallas_kernels import QUANTUM_EVAL, fits_vmem_blocked
+        from ..ops.pallas_kernels import (QUANTUM_EVAL, fits_vmem_blocked,
+                                          prefer_blocked)
 
         if K * dim <= 128:
             fused_mode = "dense"
-        elif fits_vmem_blocked(K, dim, QUANTUM_EVAL):
+        elif fits_vmem_blocked(K, dim, QUANTUM_EVAL) and prefer_blocked(K, N):
             # K-blocked kernel: lifts the dense kernel's VMEM cap so the
             # reference's K=400-scale mixture-reduction workloads stay on
-            # the single-pass path
+            # the single-pass path; elected only where the XLA path's
+            # (K, N) responsibility matrix would crowd HBM (at large D and
+            # moderate K*N the XLA einsums are faster -- see prefer_blocked)
             fused_mode = "blocked"
 
     if fused_mode:
@@ -366,13 +369,15 @@ def pmc_step_mixture_target(
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
     if (n >= 1024 and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")):
-        from ..ops.pallas_kernels import QUANTUM_RNG, fits_vmem_blocked
+        from ..ops.pallas_kernels import (QUANTUM_RNG, fits_vmem_blocked,
+                                          prefer_blocked)
 
         if (K * dim <= 128
                 and _core.use_pallas(params.means, K + target_params.K, dim)):
             fused_mode = "dense"
         elif (_core.use_pallas(params.means)
-              and fits_vmem_blocked(K + target_params.K, dim, QUANTUM_RNG)):
+              and fits_vmem_blocked(K + target_params.K, dim, QUANTUM_RNG)
+              and prefer_blocked(K, n)):
             fused_mode = "blocked"
 
     if not fused_mode:

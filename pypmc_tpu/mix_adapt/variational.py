@@ -735,13 +735,15 @@ class GaussianInference(object):
         dense kernels' VMEM cap), ``"blocked"`` (K-blocked kernels for
         larger mixtures), or None (unfused XLA path)."""
         from ..density import core as _dcore
-        from ..ops.pallas_kernels import QUANTUM_EVAL, fits_vmem_blocked
+        from ..ops.pallas_kernels import (QUANTUM_EVAL, fits_vmem_blocked,
+                                          prefer_blocked)
 
         if not (_dcore.use_pallas(self.data) and self.N >= 1024):
             return None
         if self.K * self.dim <= 128:
             return "dense"
-        if fits_vmem_blocked(self.K, self.dim, QUANTUM_EVAL):
+        if (fits_vmem_blocked(self.K, self.dim, QUANTUM_EVAL)
+                and prefer_blocked(self.K, self.N)):
             return "blocked"
         return None
 

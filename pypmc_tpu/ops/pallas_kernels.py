@@ -1364,6 +1364,21 @@ def _blocked_bytes_per_lane(K_pad: int, dim: int, kb: int) -> int:
     return 4 * (2 * K_pad + 4 * kb + 3 * kb * dim + dim + 4)
 
 
+def prefer_blocked(K: int, N: int, hbm_budget_bytes: int = 12 * 1024**3) -> bool:
+    """Whether the K-blocked single-pass kernels should be preferred over
+    the unfused XLA path for an (K-component, N-particle) adaptation.
+
+    The K-blocked kernels exist to avoid materializing the (K, N)
+    responsibility matrix in HBM; where that matrix (plus ~3x fusion slack
+    for the exp/weighted intermediates) fits comfortably, the XLA einsum
+    formulation is actually FASTER at large D (measured: K=64, D=40,
+    N=2^23 -- XLA 479.9 ms vs blocked 1116.6 ms, the blocked kernel's
+    per-lane Gram-panel work scales as K*D*kb*D) -- so blocked is elected
+    only where the XLA path approaches HBM capacity (e.g. the K=400
+    mixture-reduction scale: 13.4 GB at N=2^23, OOM)."""
+    return 4 * K * N * 3 > hbm_budget_bytes
+
+
 def fits_vmem_blocked(K: int, D: int, quantum: int = QUANTUM_EVAL,
                       vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
     """Whether a (K, D) mixture fits the K-BLOCKED kernels' VMEM budget at

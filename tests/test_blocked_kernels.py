@@ -91,11 +91,14 @@ def test_pmc_stats_blocked_in_pmc_update():
     import pypmc_tpu.density.core as dcore
     orig = dcore.use_pallas
     pmc_mod.pmc_update.clear_cache()
+    orig_pref = pk.prefer_blocked
     try:
         dcore.use_pallas = lambda *a, **k: True
+        pk.prefer_blocked = lambda *a, **k: True  # small test N; force election
         fused = pmc_mod.pmc_update(params, xT, w, transposed=True)
     finally:
         dcore.use_pallas = orig
+        pk.prefer_blocked = orig_pref
         pmc_mod.pmc_update.clear_cache()
     assert fused.rho is None
     np.testing.assert_allclose(np.asarray(fused.params.weights),
@@ -149,14 +152,17 @@ def test_vb_estep_blocked_via_gaussian_inference():
 
     import pypmc_tpu.density.core as dcore
     orig = dcore.use_pallas
+    orig_pref = pk.prefer_blocked
     try:
         dcore.use_pallas = lambda *a, **k: True
+        pk.prefer_blocked = lambda *a, **k: True  # small test N; force election
         vb_fused = GaussianInference(jnp.asarray(data, dtype=jnp.float32),
                                      components=K, initial_guess="first")
         assert vb_fused._fused_eligible() == "blocked"
         fused_bound = vb_fused.likelihood_bound()
     finally:
         dcore.use_pallas = orig
+        pk.prefer_blocked = orig_pref
     vb_ref = GaussianInference(jnp.asarray(data, dtype=jnp.float32),
                                components=K, initial_guess="first")
     assert not vb_ref._fused_eligible()
@@ -172,3 +178,16 @@ def test_vb_estep_blocked_via_gaussian_inference():
     np.testing.assert_allclose(np.asarray(vb_fused.S), np.asarray(vb_ref.S),
                                rtol=2e-2, atol=2e-2)
     assert abs(fused_bound - ref_bound) / abs(ref_bound) < 1e-3
+
+
+def test_prefer_blocked_policy():
+    """Blocked kernels are elected only where the XLA path's (K, N)
+    responsibility matrix would crowd HBM (measured: at K=64, D=40, N=2^23
+    the XLA einsums beat the blocked kernel's Gram-panel streaming 2.3x)."""
+    # mixture-reduction scale: rho alone is 13.4 GB -> blocked
+    assert pk.prefer_blocked(400, 1 << 23)
+    # K=64 at N=2^23: rho is 2 GB, XLA fits and is faster -> unfused
+    assert not pk.prefer_blocked(64, 1 << 23)
+    # the flagship 10^7-particle K=10 workload never needs blocking
+    assert not pk.prefer_blocked(10, 10**7)
+    assert pk.prefer_blocked(400, 10**7)
