@@ -22,15 +22,15 @@ import numpy as np
 K = 10        # proposal mixture components
 KT = 2        # target mixture components
 D = 10        # dimension
-N = 1 << 25   # particles per step (TPU)
+N = 1 << 26   # particles per step (TPU; production-scale batch)
 N_CPU = 1 << 16  # particles per step for the numpy baseline (extrapolated)
 REPS = 10
 TRIALS = 3    # independent timing loops; report the best trial median
-# Recorded floor: alternating same-chip A/B runs of the round-1 and round-2
-# code measured 305-340M samples/s for BOTH (see BENCHMARKS.md "Run-to-run
-# variance"); a single median-of-10 swings ~10% through the tunnel.  A
-# best-of-3 result below this floor indicates a REAL regression.
-FLOOR = 320e6
+# Recorded floor: at N=2^26 the step repeats within ~1% (407 M measured,
+# kernel-only rate ~485 M net of the ~26 ms tunnel dispatch floor; see
+# BENCHMARKS.md "Batch-size scaling").  A best-of-3 result below this floor
+# indicates a REAL regression.  (The former N=2^25 floor was 320 M.)
+FLOOR = 370e6
 
 
 def make_problem(dtype):

@@ -197,7 +197,9 @@ def main():
         assert bool(np.asarray(vr).all())
         sr, _lat = core.propose(pr, jax.random.PRNGKey(13), 1 << 16)
         wr = jnp.asarray(np.abs(rng.normal(1, 0.2, size=1 << 16)).astype(np.float32))
-        fused_b = pmc_update(pr, sr, wr)
+        # force the K-blocked kernel (the auto policy routes this N=2^16
+        # shape to the XLA path; the blocked kernel is what's under test)
+        fused_b = pmc_update(pr, sr, wr, fused="blocked")
         saved = core.use_pallas
         core.use_pallas = lambda arr, *a, **k: False
         pmc_update.clear_cache()
@@ -342,9 +344,13 @@ def main():
         t2_covs = np.array([np.eye(2) * 0.8] * 2).astype(np.float32)
         t2p, _ = core.make_mixture(t2_means, t2_covs,
                                    np.array([0.3, 0.7], np.float32))
+        # force the K-blocked kernel: the auto policy would route this
+        # shape (rho only ~0.3 GB) to the XLA path -- the point here is to
+        # validate the blocked kernel itself against that XLA path
         res, sT, wgt, lat, sw = pmc_step_mixture_target(
-            pr, t2p, jax.random.PRNGKey(7), 1 << 20)
-        ref = pmc_update(pr, sT, wgt, transposed=True, dof_solver_steps=100)
+            pr, t2p, jax.random.PRNGKey(7), 1 << 20, fused="blocked")
+        ref = pmc_update(pr, sT, wgt, transposed=True, dof_solver_steps=100,
+                         fused="off")
         ok = bool(res.rho is None)
         ok &= np.allclose(np.asarray(res.params.weights),
                           np.asarray(ref.params.weights), rtol=1e-3, atol=1e-6)

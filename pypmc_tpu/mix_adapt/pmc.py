@@ -115,7 +115,7 @@ class PMCResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("rb", "mincount", "dof_solver_steps",
-                                   "axis_name", "transposed"))
+                                   "axis_name", "transposed", "fused"))
 def pmc_update(
     params: _core.MixtureParams,
     samples,
@@ -128,6 +128,7 @@ def pmc_update(
     maxdof: float = 1e3,
     axis_name: Optional[str] = None,
     transposed: bool = False,
+    fused: str = "auto",
 ) -> PMCResult:
     """One (M-)PMC update of a Gaussian or Student-t mixture ([Cap+08] eq. 14,
     [HOD12] for the dof) as a single jitted computation.
@@ -156,6 +157,12 @@ def pmc_update(
         ``tools/parallel_sampler.py:58-71``).  Every shard computes the
         identical updated mixture.
     :param transposed: whether ``samples`` is ``(D, N)``.
+    :param fused: kernel dispatch: ``"auto"`` (default -- dense single-pass
+        kernel where ``K*D <= 128``, K-blocked where the XLA path's ``(K, N)``
+        responsibility matrix would crowd HBM, XLA einsums otherwise),
+        ``"dense"`` / ``"blocked"`` to force a specific single-pass kernel
+        (subject to hard feasibility: TPU/float32, ``N >= 1024``, VMEM fit),
+        or ``"off"`` to force the unfused XLA path.
     """
     samples_T = jnp.asarray(samples)
     if not transposed:
@@ -183,13 +190,19 @@ def pmc_update(
 
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
-    if rb and _core.use_pallas(samples_T) and N >= 1024:
+    if fused != "off" and rb and _core.use_pallas(samples_T) and N >= 1024:
         from ..ops.pallas_kernels import (QUANTUM_EVAL, fits_vmem_blocked,
                                           prefer_blocked)
 
-        if K * dim <= 128:
+        dense_ok = K * dim <= 128
+        blocked_ok = fits_vmem_blocked(K, dim, QUANTUM_EVAL)
+        if fused == "dense":
+            fused_mode = "dense" if dense_ok else None
+        elif fused == "blocked":
+            fused_mode = "blocked" if blocked_ok else None
+        elif dense_ok:
             fused_mode = "dense"
-        elif fits_vmem_blocked(K, dim, QUANTUM_EVAL) and prefer_blocked(K, N):
+        elif blocked_ok and prefer_blocked(K, N):
             # K-blocked kernel: lifts the dense kernel's VMEM cap so the
             # reference's K=400-scale mixture-reduction workloads stay on
             # the single-pass path; elected only where the XLA path's
@@ -330,7 +343,8 @@ def _solve_dofs(const, old_dofs, dof_solver_steps, mindof, maxdof, dtype):
     return jax.vmap(solve_one)(const, old_dofs)
 
 
-@partial(jax.jit, static_argnames=("n", "dof_solver_steps", "axis_name"))
+@partial(jax.jit, static_argnames=("n", "dof_solver_steps", "axis_name",
+                                   "fused"))
 def pmc_step_mixture_target(
     params: _core.MixtureParams,
     target_params: _core.MixtureParams,
@@ -340,6 +354,7 @@ def pmc_step_mixture_target(
     mindof: float = 1e-5,
     maxdof: float = 1e3,
     axis_name: Optional[str] = None,
+    fused: str = "auto",
 ):
     """One COMPLETE (M-)PMC training step against a MIXTURE target --
     propose, evaluate proposal and target, weight, Rao-Blackwellized
@@ -352,6 +367,8 @@ def pmc_step_mixture_target(
 
     Always Rao-Blackwellized (``rb=True``).  With ``axis_name``, ``n`` is
     the LOCAL particle count per shard and all statistics are psum-reduced.
+    ``fused`` selects the kernel as in :func:`pmc_update` (``"auto"`` /
+    ``"dense"`` / ``"blocked"`` / ``"off"``).
 
     :returns: ``(result, samples_T (D, n), weights (n,), latent (n,),
         sw (3,))`` with ``result`` a :class:`PMCResult` (``rho`` is None on
@@ -368,16 +385,22 @@ def pmc_step_mixture_target(
 
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
-    if (n >= 1024 and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")):
+    if (fused != "off" and n >= 1024
+            and not _os.environ.get("PYPMC_TPU_DISABLE_FUSED_RNG")):
         from ..ops.pallas_kernels import (QUANTUM_RNG, fits_vmem_blocked,
                                           prefer_blocked)
 
-        if (K * dim <= 128
-                and _core.use_pallas(params.means, K + target_params.K, dim)):
+        dense_ok = (K * dim <= 128
+                    and _core.use_pallas(params.means, K + target_params.K, dim))
+        blocked_ok = (_core.use_pallas(params.means)
+                      and fits_vmem_blocked(K + target_params.K, dim, QUANTUM_RNG))
+        if fused == "dense":
+            fused_mode = "dense" if dense_ok else None
+        elif fused == "blocked":
+            fused_mode = "blocked" if blocked_ok else None
+        elif dense_ok:
             fused_mode = "dense"
-        elif (_core.use_pallas(params.means)
-              and fits_vmem_blocked(K + target_params.K, dim, QUANTUM_RNG)
-              and prefer_blocked(K, n)):
+        elif blocked_ok and prefer_blocked(K, n):
             fused_mode = "blocked"
 
     if not fused_mode:

@@ -180,6 +180,38 @@ def test_vb_estep_blocked_via_gaussian_inference():
     assert abs(fused_bound - ref_bound) / abs(ref_bound) < 1e-3
 
 
+def test_fused_override_kwarg():
+    """``fused="blocked"`` forces the blocked kernel regardless of the
+    prefer_blocked policy; ``fused="off"`` forces the XLA path (rho is
+    materialized there).  Both agree."""
+    import pypmc_tpu.mix_adapt.pmc as pmc_mod
+    import pypmc_tpu.density.core as dcore
+
+    K, D = 80, 2
+    params = make_params(K, D, False, dead=False)
+    xT, w = make_data(D, 2048)
+    plain = pmc_mod.pmc_update(params, xT, w, transposed=True, fused="off")
+    assert plain.rho is not None
+
+    orig = dcore.use_pallas
+    pmc_mod.pmc_update.clear_cache()
+    try:
+        dcore.use_pallas = lambda *a, **k: True
+        # NOT monkeypatching prefer_blocked: the override must ignore it
+        forced = pmc_mod.pmc_update(params, xT, w, transposed=True,
+                                    fused="blocked")
+    finally:
+        dcore.use_pallas = orig
+        pmc_mod.pmc_update.clear_cache()
+    assert forced.rho is None
+    np.testing.assert_allclose(np.asarray(forced.params.means),
+                               np.asarray(plain.params.means),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(forced.params.weights),
+                               np.asarray(plain.params.weights),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_prefer_blocked_policy():
     """Blocked kernels are elected only where the XLA path's (K, N)
     responsibility matrix would crowd HBM (measured: at K=64, D=40, N=2^23
