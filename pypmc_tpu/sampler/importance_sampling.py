@@ -276,19 +276,52 @@ def _all_proposal_log_q(y, proposals, params):
         [_np.asarray(p.multi_evaluate(_np.asarray(y))) for p in proposals]))
 
 
+@partial(jax.jit, static_argnames=("linear",))
+def _combine_one_run_device(yT, w_t, t, n_arr, params_list, linear=False):
+    """[Cor+12] Eq. (3) combined weights of ONE run's samples, fully on
+    device: all T proposal evaluations and the mixture denominator execute
+    as a single dispatch (run index ``t`` is a traced scalar, so every run
+    reuses the one compiled executable)."""
+    q = jnp.stack(
+        [_core.mixture_logpdf_T(p, yT) for p in params_list], axis=-1)
+    w_t = jnp.asarray(w_t, dtype=q.dtype)
+    n_arr = jnp.asarray(n_arr, dtype=q.dtype)
+    n_total = jnp.sum(n_arr)
+    q_t = jnp.take(q, t, axis=1)
+    if linear:
+        denominator = jnp.einsum("l,nl->n", n_arr / n_total, jnp.exp(q))
+        return jnp.exp(q_t) * w_t / denominator
+    log_w = jnp.log(w_t) + q_t + jnp.log(n_total) - logsumexp(q, n_arr, axis=-1)
+    return jnp.exp(log_w)
+
+
+def _combine_weights_device(samples, weights, proposals, history, N, params,
+                            linear):
+    for t in range(len(proposals)):
+        combined = history.append(N[t])
+        combined[:, 0] = _np.asarray(_combine_one_run_device(
+            jnp.asarray(samples[t]).T, weights[t], jnp.asarray(t, jnp.int32),
+            N, params, linear=linear))
+    return history
+
+
 def _combine_weights_log(samples, weights, proposals, history, N_total, N):
     # [Cor+12] Eq. (3) on the log scale:
     # log w_i^t = log(omega_i^t) + log q_t(y_i^t) + log(N_total)
     #             - log(sum_l N_l exp(log q_l(y_i^t)))
     params = _stacked_proposal_params(proposals)
-    for t in range(len(proposals)):
-        combined = history.append(N[t])
-        q = _all_proposal_log_q(samples[t], proposals, params)
-        n_arr = jnp.asarray(N, dtype=q.dtype)
-        log_w_t = (jnp.log(jnp.asarray(weights[t], dtype=q.dtype))
-                   + q[:, t] + jnp.log(jnp.asarray(N_total, dtype=q.dtype))
-                   - logsumexp(q, n_arr, axis=-1))
-        combined[:, 0] = _np.asarray(jnp.exp(log_w_t))
+    if params is not None:
+        _combine_weights_device(samples, weights, proposals, history, N,
+                                params, linear=False)
+    else:
+        for t in range(len(proposals)):
+            combined = history.append(N[t])
+            q = _all_proposal_log_q(samples[t], proposals, params)
+            n_arr = jnp.asarray(N, dtype=q.dtype)
+            log_w_t = (jnp.log(jnp.asarray(weights[t], dtype=q.dtype))
+                       + q[:, t] + jnp.log(jnp.asarray(N_total, dtype=q.dtype))
+                       - logsumexp(q, n_arr, axis=-1))
+            combined[:, 0] = _np.asarray(jnp.exp(log_w_t))
 
     sum_w = history[:][:, 0].sum()
     assert sum_w > 0, "Sum of weights <=0 (%g)" % sum_w
@@ -298,6 +331,9 @@ def _combine_weights_log(samples, weights, proposals, history, N_total, N):
 def _combine_weights_linear(samples, weights, proposals, history, N_total, N):
     # [Cor+12] Eq. (3) on the linear scale (needed for negative weights)
     params = _stacked_proposal_params(proposals)
+    if params is not None:
+        return _combine_weights_device(samples, weights, proposals, history,
+                                       N, params, linear=True)
     for t in range(len(proposals)):
         combined = history.append(N[t])
         q = _all_proposal_log_q(samples[t], proposals, params)
