@@ -158,8 +158,9 @@ def main():
     cpu = numpy_baseline_sps()
     tpu, trials = tpu_sps()
     spread_pct = 100.0 * (max(trials) - min(trials)) / max(trials)
-    if tpu < FLOOR:
-        print("WARNING: best-of-%d %.1fM samples/s is below the recorded "
+    below_floor = bool(tpu < FLOOR)
+    if below_floor:
+        print("ERROR: best-of-%d %.1fM samples/s is below the recorded "
               "floor of %.0fM -- likely a real regression (trials: %s)"
               % (TRIALS, tpu / 1e6, FLOOR / 1e6,
                  [round(t / 1e6, 1) for t in trials]), file=sys.stderr)
@@ -169,7 +170,10 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(tpu / cpu, 2),
         "trial_spread_pct": round(spread_pct, 1),
+        "below_floor": below_floor,
     }))
+    if below_floor:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

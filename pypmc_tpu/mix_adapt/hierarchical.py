@@ -67,17 +67,19 @@ class Hierarchical(object):
         self.nin = len(input_components.components)
         self.nout = len(initial_guess.components)
 
-        assert self.nin > self.nout, (
-            "Got more output (%i) than input (%i) components" % (self.nout, self.nin)
-        )
-        assert self.nout > 0, "Invalid number of output components %s" % self.nout
+        if not 0 < self.nout < self.nin:
+            raise AssertionError(
+                "need 0 < #outputs < #inputs, have %d outputs for %d inputs"
+                % (self.nout, self.nin)
+            )
 
         self.f = input_components
         self.g = _copy.deepcopy(initial_guess)
 
-        # several inputs can map to one output
-        self.inv_map = {j: None for j in range(self.nout)}
-        self.min_kl = _np.zeros(self.nin) + _np.inf
+        # inv_map[j] = list of input indices currently assigned to output j
+        self.inv_map = dict.fromkeys(range(self.nout))
+        # per-input best KL against the current g (filled by _regroup)
+        self.min_kl = _np.full(self.nin, _np.inf)
 
         # stacked input parameters (static during the run)
         means, covs, weights = _unroll(self.f)
@@ -85,19 +87,20 @@ class Hierarchical(object):
         self._f_covs = jnp.asarray(covs)
         self._f_weights = _np.asarray(weights)
 
-    def _cleanup(self, kill):
-        """Remove dead components (weight 0) if ``kill``."""
-        if kill:
-            removed_indices = self.g.prune()
-            self.nout -= len(removed_indices)
-            if removed_indices:
-                logger.info("Removing %s" % removed_indices)
-            for j in removed_indices:
-                self.inv_map.pop(j[0])
-            # reindex the inverse map to the new component numbering
-            self.inv_map = {j: m for j, m in enumerate(
-                v for _, v in sorted(self.inv_map.items())
-            )}
+    def _prune_empty(self):
+        """Drop output components whose weight hit zero (no inputs mapped to
+        them) and rebuild ``inv_map`` for the surviving, renumbered outputs.
+        Returns the number of components dropped."""
+        dropped = self.g.prune()
+        if not dropped:
+            return 0
+        self.nout -= len(dropped)
+        dead = {j for (j, _, _) in dropped}
+        logger.info("pruned %d empty output component(s): %s",
+                    len(dead), sorted(dead))
+        survivors = [self.inv_map[j] for j in sorted(self.inv_map) if j not in dead]
+        self.inv_map = dict(enumerate(survivors))
+        return len(dead)
 
     def _distance(self):
         r"""Distance function :math:`d(f, g, \pi)`, Eq. (3) in [GR04]."""
@@ -139,50 +142,49 @@ class Hierarchical(object):
             c.update(mean, cov)
 
     def run(self, eps=1e-4, kill=True, max_steps=50):
-        r"""Perform the clustering; the result is in ``self.g``.  Return the
-        number of iterations at convergence, or None.
+        r"""Alternate regroup/refit until the [GR04] distance stalls; the
+        reduced mixture is left in ``self.g``.  Returns the step count at
+        convergence, or ``None`` if ``max_steps`` ran out first.
 
         :param eps: declare convergence when the relative change of the
             distance falls below ``eps``.
         :param kill: remove output components with zero weight.
         :param max_steps: maximum number of update steps.
         """
-        old_distance = _np.finfo(_np.float64).max
-        new_distance = _np.finfo(_np.float64).max
-
         logger.info(
-            "Starting hierarchical clustering with %d components." % len(self.g.components)
+            "hierarchical reduction: %d -> <=%d components (eps=%g)",
+            self.nin, len(self.g.components), eps,
         )
-        converged = False
-        step = 0
+        prev = None  # distance after the previous regroup/refit pass
         for step in range(1, max_steps + 1):
-            self._cleanup(kill)
+            if kill:
+                self._prune_empty()
             self._regroup()
             self._refit()
 
-            new_distance = self._distance()
-            assert new_distance >= 0, "Found non-positive distance %d" % new_distance
+            d = self._distance()
+            assert d >= 0.0, "negative distance %g at step %d" % (d, step)
+            logger.info("step %d: d(f,g) = %g", step, d)
 
-            logger.info("Distance in step %d: %g" % (step, new_distance))
-            if new_distance == old_distance:
-                converged = True
-                logger.info("Exact minimum found after %d steps" % step)
-                break
+            if prev is not None:
+                # the EM alternation can only shrink d; allow float-sum slack
+                assert d <= prev * (1.0 + 1e-13), (
+                    "distance grew at step %d (%g -> %g)" % (step, prev, d)
+                )
+                if d == prev or prev - d < eps * prev:
+                    if kill:
+                        self._prune_empty()
+                    logger.info(
+                        "converged at step %d; %d component(s) left",
+                        step, len(self.g.components),
+                    )
+                    return step
+            prev = d
 
-            rel_change = (old_distance - new_distance) / old_distance
-            assert not (rel_change < -1e-13), "distance increased"
-
-            if rel_change < eps and not converged and step > 0:
-                converged = True
-                if new_distance != old_distance:
-                    logger.info("Close enough to local minimum after %d steps" % step)
-                break
-
-            old_distance = new_distance
-
-        self._cleanup(kill)
-        logger.info("%d components remain." % len(self.g.components))
-
-        if converged:
-            return step
+        if kill:
+            self._prune_empty()
+        logger.info(
+            "no convergence within %d steps; %d component(s) left",
+            max_steps, len(self.g.components),
+        )
         return None

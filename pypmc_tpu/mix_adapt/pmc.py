@@ -96,6 +96,30 @@ def _cov_sums_T(samples_T, c_T, mu):
     return jax.lax.map(per_k, (c_T, mu))
 
 
+_FUSED_MODES = ("auto", "dense", "blocked", "off")
+
+
+def _check_fused_arg(fused):
+    """Reject typo'd ``fused=`` values at trace time instead of silently
+    treating them as ``"auto"``."""
+    if fused not in _FUSED_MODES:
+        raise ValueError(
+            "fused must be one of %s, got %r" % (_FUSED_MODES, fused)
+        )
+
+
+def _check_fused_feasible(fused, fused_mode, requirements):
+    """An explicitly forced ``fused="dense"``/``"blocked"`` that fails the
+    feasibility gate must not silently reroute onto the XLA path (a forced
+    kernel-validation run would quietly compare XLA against XLA)."""
+    if fused in ("dense", "blocked") and fused_mode != fused:
+        raise ValueError(
+            "fused=%r was forced but is infeasible for these operands; "
+            "the %r kernel requires %s. Use fused='auto' to allow fallback."
+            % (fused, fused, requirements)
+        )
+
+
 class PMCResult(NamedTuple):
     """Result of one :func:`pmc_update`.
 
@@ -188,6 +212,7 @@ def pmc_update(
         count = psum(jnp.bincount(latent, length=K))
         live = live & (count >= mincount)
 
+    _check_fused_arg(fused)
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
     if fused != "off" and rb and _core.use_pallas(samples_T) and N >= 1024:
@@ -209,6 +234,9 @@ def pmc_update(
             # (K, N) responsibility matrix would crowd HBM (at large D and
             # moderate K*N the XLA einsums are faster -- see prefer_blocked)
             fused_mode = "blocked"
+    _check_fused_feasible(fused, fused_mode,
+                          "rb=True, TPU/float32, N >= 1024, and VMEM fit "
+                          "(K*D <= 128 for 'dense')")
 
     if fused_mode:
         # ONE fused pass: rho, gamma, and every sufficient statistic are
@@ -383,6 +411,7 @@ def pmc_step_mixture_target(
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
+    _check_fused_arg(fused)
     dof_stats = params.is_student_t and bool(dof_solver_steps)
     fused_mode = None
     if (fused != "off" and n >= 1024
@@ -402,6 +431,9 @@ def pmc_step_mixture_target(
             fused_mode = "dense"
         elif blocked_ok and prefer_blocked(K, n):
             fused_mode = "blocked"
+    _check_fused_feasible(fused, fused_mode,
+                          "TPU/float32, n >= 1024, VMEM fit for K+K_target "
+                          "components, and PYPMC_TPU_DISABLE_FUSED_RNG unset")
 
     if not fused_mode:
         out = _core.propose_logq_T(params, key, n, target_params)
@@ -484,16 +516,16 @@ def pmc_log_likelihood(params: _core.MixtureParams, samples,
 def _check_pmc_args(samples, weights, latent, mincount, rb):
     if weights is not None:
         weights = _np.asarray(weights)
-        assert len(weights.shape) == 1, "Weights must be one-dimensional."
+        assert len(weights.shape) == 1, "expected a 1-D weight vector"
         assert len(weights) == len(samples), (
-            "Number of weights (%s) does not match the number of samples (%s)."
+            "weight count %s != sample count %s"
             % (len(weights), len(samples))
         )
     if latent is None:
         if mincount > 0:
-            raise ValueError("`mincount` must be 0 if `latent` is not provided!")
+            raise ValueError("mincount requires latent component indices; pass latent= or set mincount=0")
         if not rb:
-            raise ValueError("`rb` must be True if `latent` is not provided!")
+            raise ValueError("non-Rao-Blackwellized updates need latent component indices; pass latent= or keep rb=True")
     return weights
 
 
@@ -514,7 +546,7 @@ def _apply_pmc(density, samples, weights, latent, rb, mincount, copy, **kwargs):
     )
     failed = _np.asarray(result.live & ~result.updated_ok)
     for k in _np.flatnonzero(failed):
-        logger.warning("Could not update component %i --> weight is set to zero." % k)
+        logger.warning("covariance update failed for component %i; zeroing its weight" % k)
     density.set_params(result.params)
     return density
 
@@ -577,9 +609,9 @@ class PMC(object):
                  mincount=0, **kwargs):
         if weights is not None:
             self.weights = _np.asarray(weights)
-            assert len(self.weights.shape) == 1, "Weights must be one-dimensional."
+            assert len(self.weights.shape) == 1, "expected a 1-D weight vector"
             assert len(self.weights) == len(samples), (
-                "Number of weights (%s) does not match the number of samples (%s)."
+                "weight count %s != sample count %s"
                 % (len(self.weights), len(samples))
             )
         else:
@@ -587,9 +619,9 @@ class PMC(object):
 
         if latent is None:
             if mincount > 0:
-                raise ValueError("`mincount` must be 0 if `latent` is not provided!")
+                raise ValueError("mincount requires latent component indices; pass latent= or set mincount=0")
             if not rb:
-                raise ValueError("`rb` must be True if `latent` is not provided!")
+                raise ValueError("non-Rao-Blackwellized updates need latent component indices; pass latent= or keep rb=True")
 
         error_wrong_mixture = (
             "``density`` must be a ``pypmc_tpu.density.mixture.MixtureDensity`` "
@@ -654,7 +686,7 @@ class PMC(object):
         )
         failed = _np.asarray(result.live & ~result.updated_ok)
         for k in _np.flatnonzero(failed):
-            logger.warning("Could not update component %i --> weight is set to zero." % k)
+            logger.warning("covariance update failed for component %i; zeroing its weight" % k)
         self.density.set_params(result.params)
 
     def run(self, iterations=1000, prune=0.0, rel_tol=1e-10, abs_tol=1e-5):
@@ -673,18 +705,25 @@ class PMC(object):
                 old_bound = bound
             else:
                 old_bound = self.log_likelihood()
-                logger.info("New bound=%g, K=%i" % (old_bound, len(self.density)))
+                logger.info(
+                    "K changed to %i; fresh log-likelihood %g",
+                    len(self.density), old_bound,
+                )
 
             self._update_once()
             bound = self.log_likelihood()
 
             logger.info(
-                "After update %d: bound=%.15g, K=%i, component_weights=%s"
-                % (i, bound, len(self.density), self.density.weights)
+                "PMC iteration %d: log-likelihood %.15g with %i live "
+                "component(s), weights %s",
+                i, bound, len(self.density), self.density.weights,
             )
 
             if bound < old_bound:
-                logger.warning("Bound decreased from %g to %g" % (old_bound, bound))
+                logger.warning(
+                    "log-likelihood dropped this iteration (%g -> %g)",
+                    old_bound, bound,
+                )
 
             if bound == old_bound:
                 return i

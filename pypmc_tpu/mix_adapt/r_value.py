@@ -158,7 +158,7 @@ def make_r_tmix(data, K_g=15, critical_r=2.0, dof=5.0, indices=None, approx=Fals
     given ``dof`` (> 2), with sigma rescaled by ``(dof-2)/dof`` so each
     component keeps the patch covariance.
     (Reference: ``r_value.py:251-305``.)"""
-    assert dof > 2.0, "``dof`` must be larger than 2. (got %g)" % dof
+    assert dof > 2.0, "finite-covariance Student-t needs dof > 2, got %g" % dof
 
     means, covs = _make_r_patches(data, K_g, critical_r, indices, approx)
 

@@ -91,9 +91,9 @@ def _dirichlet_log_C(alpha):
 def Wishart_log_B(D, nu, log_det):
     """First part of a Wishart normalization, (B.79) of [Bis06], log scale.
     (Reference: ``variational.pyx:1220-1247``.)"""
-    assert D > 0, "Invalid dimension: %s" % D
-    assert nu > D - 1, "Invalid degree of freedom: %s" % nu
-    assert _np.isfinite(log_det), "Non-finite log(det): %s" % log_det
+    assert D > 0, "dimension must be positive, got %s" % D
+    assert nu > D - 1, "Wishart dof must exceed D-1, got %s" % nu
+    assert _np.isfinite(log_det), "log-determinant is not finite: %s" % log_det
     log_B = -0.5 * nu * log_det - 0.5 * nu * D * _np.log(2) - 0.25 * D * (D - 1) * _np.log(_np.pi)
     for i in range(1, D + 1):
         log_B -= _gammaln_host(0.5 * (nu + 1 - i))
@@ -103,9 +103,9 @@ def Wishart_log_B(D, nu, log_det):
 def Wishart_expect_log_lambda(D, nu, log_det):
     r""":math:`E[\log |\Lambda|]`, (B.81) of [Bis06].
     (Reference: ``variational.pyx:1249-1258``.)"""
-    assert D > 0, "Invalid dimension: %s" % D
-    assert nu > D - 1, "Invalid degree of freedom: %s" % nu
-    assert _np.isfinite(log_det), "Non-finite log(det): %s" % log_det
+    assert D > 0, "dimension must be positive, got %s" % D
+    assert nu > D - 1, "Wishart dof must exceed D-1, got %s" % nu
+    assert _np.isfinite(log_det), "log-determinant is not finite: %s" % log_det
     result = 0.0
     for i in range(1, D + 1):
         result += _digamma_host(0.5 * (nu + 1 - i))
@@ -507,14 +507,14 @@ class GaussianInference(object):
             if not isinstance(weights, jax.Array):
                 weights = _np.asarray(weights, dtype=float)
                 assert _np.isfinite(weights).all(), (
-                    "Some weights are not finite; i.e., inf or nan\n" + str(weights)
+                    "sample weights contain inf/nan:\n" + str(weights)
                 )
             assert weights.shape == (self.N,), (
-                "The number of samples (%s) does not match the number of weights (%s)"
+                "got %s samples but %s weights"
                 % (self.N, weights.shape[0])
             )
             sum_w = float(jnp.sum(jnp.asarray(weights)))
-            assert sum_w > 0, "Sum of weights <= 0 (%g)" % sum_w
+            assert sum_w > 0, "total sample weight must be positive, got %g" % sum_w
             # normalize weights to N (not one); weighted update formulae
             # reduce to the unweighted ones when weights are all 1
             self.weights = jnp.asarray(weights) * (self.N / sum_w)
@@ -587,12 +587,12 @@ class GaussianInference(object):
     def _check_K_vector(self, name, min=0.0):
         v = getattr(self, name)
         if len(v.shape) != 1:
-            raise ValueError("%s is not a vector but has shape %s" % (name, v.shape))
+            raise ValueError("hyperparameter %s must be 1-D, got shape %s" % (name, v.shape))
         if len(v) != self.K:
-            raise ValueError("len(%s)=%d does not match K=%d" % (name, len(v), self.K))
+            raise ValueError("hyperparameter %s has length %d, expected K=%d" % (name, len(v), self.K))
         if not (_np.asarray(v) > min).all():
             raise ValueError(
-                "All elements of %s must exceed %g. %s=%s" % (name, min, name, v)
+                "every element of %s must be > %g, got %s=%s" % (name, min, name, v)
             )
 
     def _initialize_m(self, initial_guess):
@@ -608,7 +608,7 @@ class GaussianInference(object):
                 _np.random.choice(self.N, size=self.K, replace=False)
             ].copy()
         else:
-            raise ValueError("Invalid ``initial_guess``: " + str(initial_guess))
+            raise ValueError("unrecognized initial_guess %r (want a MixtureDensity or one of the named schemes)" % (initial_guess,))
 
     def set_variational_parameters(self, *args, **kwargs):
         r"""Reset prior (subscript 0) and initial posterior hyperparameters
@@ -619,7 +619,7 @@ class GaussianInference(object):
         reference (``variational.pyx:361-569``) for the full semantics.
         """
         if args:
-            raise TypeError("keyword args only")
+            raise TypeError("positional arguments are not accepted here; use keyword=value")
 
         K, dim = self.K, self.dim
 
@@ -665,7 +665,7 @@ class GaussianInference(object):
         for name in ("m0", "m"):
             if getattr(self, name).shape != (K, dim):
                 raise ValueError(
-                    "Shape of %s %s does not match (K,d)=%s"
+                    "%s has shape %s, expected (K, d) = %s"
                     % (name, getattr(self, name).shape, (K, dim))
                 )
 
@@ -689,20 +689,20 @@ class GaussianInference(object):
                     _, self.inv_W0[k], self.log_det_W0[k] = chol_inv_det_host(W0[k])
             else:
                 raise ValueError(
-                    "W0 is neither None, nor a %s array, nor a %s array."
+                    "W0 must be None, a %s matrix, or a stacked %s array"
                     % ((dim, dim), (K, dim, dim))
                 )
         self.W = _np.asarray(kwargs.pop("W", self.W0.copy()), dtype=float)
         if self.W.shape != (K, dim, dim):
             raise ValueError(
-                "Shape of W %s does not match (K, d, d)=%s"
+                "W has shape %s, expected (K, d, d) = %s"
                 % (self.W.shape, (K, dim, dim))
             )
         # check W is a valid covariance and compute the determinant
         self.log_det_W = _np.array([chol_inv_det_host(W)[2] for W in self.W])
 
         if kwargs:
-            raise TypeError("unexpected keyword(s): " + str(kwargs.keys()))
+            raise TypeError("unknown keyword argument(s): " + str(kwargs.keys()))
 
     def _parse_initial_guess(self, initial_guess):
         """Seed the posterior hyperparameters from a Gaussian mixture
@@ -779,11 +779,11 @@ class GaussianInference(object):
         r_check = out.r if out.r is not None else out.N_comp
         if not bool(jnp.all(jnp.isfinite(r_check))):
             raise _np.linalg.LinAlgError(
-                "Encountered inf or nan in update of responsibilities\n" + str(r_check)
+                "responsibility update produced inf/nan:\n" + str(r_check)
             )
         if not bool(jnp.all(jnp.isfinite(out.S))):
             raise _np.linalg.LinAlgError(
-                "Encountered inf or nan in update of sample covariance\n" + str(out.S)
+                "sample-covariance update produced inf/nan:\n" + str(out.S)
             )
         self._e = out
         self.expectation_det_ln_lambda = out.expectation_det_ln_lambda
@@ -905,11 +905,11 @@ class GaussianInference(object):
         for k in range(self.K):
             pi = alpha[k] - 1.0
             if pi <= 0:
-                logger.warning("Skipped component %i because of zero weight" % k)
+                logger.warning("component %i has zero weight; leaving it out of the mixture" % k)
                 skipped.append(k)
                 continue
             if nu[k] <= self.dim:
-                logger.warning("Gauss-Wishart mode of component %i is not defined" % k)
+                logger.warning("component %i: Gauss-Wishart mode undefined (nu <= D); leaving it out" % k)
                 skipped.append(k)
                 continue
             try:
@@ -918,7 +918,7 @@ class GaussianInference(object):
                 components.append(Gauss(m[k], cov))
             except Exception as error:
                 logger.error(
-                    "Could not create component %i. The error was: %s" % (k, repr(error))
+                    "component %i could not be built (%s); leaving it out" % (k, repr(error))
                 )
                 skipped.append(k)
                 continue
@@ -966,7 +966,7 @@ class GaussianInference(object):
         K = len(survivors)
         if K == 0:
             raise ValueError(
-                "Prune threshold %g too large, would remove all components" % threshold
+                "prune threshold %g would kill every component" % threshold
             )
         if K == self.K:
             return
@@ -992,18 +992,22 @@ class GaussianInference(object):
             else:
                 old_bound = self.likelihood_bound()
                 logger.info(
-                    "New bound=%g, K=%d, N_k=%s" % (old_bound, self.K, self.N_comp)
+                    "K changed to %d; fresh likelihood bound %g (N_k=%s)",
+                    self.K, old_bound, self.N_comp,
                 )
 
             bound = self._update_with_bound()
 
             logger.info(
-                "After update %d: bound=%.15g, K=%d, N_k=%s"
-                % (i, bound, self.K, self.N_comp)
+                "VB iteration %d: bound %.15g with K=%d, N_k=%s",
+                i, bound, self.K, self.N_comp,
             )
 
             if bound < old_bound:
-                logger.warning("Bound decreased from %g to %g" % (old_bound, bound))
+                logger.warning(
+                    "likelihood bound dropped this iteration (%g -> %g)",
+                    old_bound, bound,
+                )
 
             if bound == old_bound:
                 return i
@@ -1073,7 +1077,7 @@ class VBMerge(GaussianInference):
             indices = _np.random.choice(self.L, size=self.K, replace=False)
             return _np.asarray(self.mu)[indices].copy()
         else:
-            raise ValueError("Invalid ``initial_guess``: " + str(initial_guess))
+            raise ValueError("unrecognized initial_guess %r (want a MixtureDensity or one of the named schemes)" % (initial_guess,))
 
     def _update_with_bound(self):
         self.update()

@@ -223,3 +223,22 @@ def test_prefer_blocked_policy():
     # the flagship 10^7-particle K=10 workload never needs blocking
     assert not pk.prefer_blocked(10, 10**7)
     assert pk.prefer_blocked(400, 10**7)
+
+
+def test_fused_arg_validation():
+    """A typo'd ``fused=`` must raise, not silently behave like 'auto'; a
+    forced mode that fails its feasibility gate must raise, not silently
+    reroute onto the XLA path (advisor round-3 finding)."""
+    import pypmc_tpu.mix_adapt.pmc as pmc_mod
+
+    K, D = 4, 2
+    params = make_params(K, D, False, dead=False)
+    xT, w = make_data(D, 2048)
+    with pytest.raises(ValueError, match="fused must be one of"):
+        pmc_mod.pmc_update(params, xT, w, transposed=True, fused="blokced")
+    # forcing a fused kernel on the CPU test platform is infeasible
+    # (use_pallas is False here) -> loud error instead of silent XLA
+    with pytest.raises(ValueError, match="infeasible"):
+        pmc_mod.pmc_update(params, xT, w, transposed=True, fused="dense")
+    with pytest.raises(ValueError, match="infeasible"):
+        pmc_mod.pmc_update(params, xT, w, transposed=True, fused="blocked")
