@@ -390,7 +390,7 @@ def main():
     cholr = jnp.asarray(np.ascontiguousarray(
         np.broadcast_to(pchol, (Cc, dm, dm)).transpose(1, 2, 0)
     ).reshape(dm * dm, Cc))
-    pts, acc, xf, ef = fused_mcmc_pool(
+    pts, acc, _nan, xf, ef = fused_mcmc_pool(
         jnp.array([11, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
         n_steps=n_mc, dim=dm)
     pts = np.asarray(pts)
@@ -406,19 +406,19 @@ def main():
     ok &= np.allclose(kept.mean(axis=0), t_mean[0], atol=0.1)
     ok &= np.allclose(np.cov(kept, rowvar=False), t_cov[0], atol=0.2)
     # determinism per seed
-    pts2, _, _, _ = fused_mcmc_pool(
+    pts2, _, _, _, _ = fused_mcmc_pool(
         jnp.array([11, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
         n_steps=n_mc, dim=dm)
     ok &= np.array_equal(pts, np.asarray(pts2))
     # distinct across seeds
-    pts3, _, _, _ = fused_mcmc_pool(
+    pts3, _, _, _, _ = fused_mcmc_pool(
         jnp.array([12, 7], jnp.int32), x0T, e0, cholr, None, t_ops,
         n_steps=n_mc, dim=dm)
     ok &= not np.array_equal(pts, np.asarray(pts3))
     check("fused MCMC chain pool (moments/accept/determinism)", bool(ok))
 
     # Student-t proposal variant: heavier steps, still correct moments
-    pts_t, acc_t, _, _ = fused_mcmc_pool(
+    pts_t, acc_t, _, _, _ = fused_mcmc_pool(
         jnp.array([5, 3], jnp.int32), x0T, e0, cholr, 5.0, t_ops,
         n_steps=n_mc, dim=dm)
     kept_t = np.asarray(pts_t)[n_mc // 2:].transpose(0, 2, 1).reshape(-1, dm)

@@ -320,10 +320,67 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
+# ------------------------------------------------------------------ #
+# in-kernel randomness: hardware PRNG, with an interpret-mode shim     #
+# ------------------------------------------------------------------ #
+# The Mosaic hardware-PRNG primitives (pltpu.prng_seed /
+# prng_random_bits) do not exist in the Pallas interpreter, so without a
+# substitute none of the in-kernel-RNG kernels could ever execute in the
+# CPU test suite or the multichip dryrun.  In interpret mode the SAME
+# kernel bodies draw from a counter-based software generator instead:
+# :func:`_seed_rng` stashes the two (traced) seed words plus a
+# Python-level draw counter, and each :func:`_kernel_uniform` call hashes
+# (seed words, draw index, element index) through three rounds of a
+# PCG-style integer permutation.  The draw-call SEQUENCE in a kernel body
+# is static, so the counter is ordinary trace-time state; streams are
+# deterministic per (seed, tile), decorrelated across draws and lanes,
+# and pass the moment/KS checks of the distributional suite.  The
+# hardware path is bit-for-bit unchanged.
+
+_sw_rng_state = None  # [s0 (u32), s1 (u32), draw counter] while tracing
+
+
+def _seed_rng(s0, s1):
+    """Seed the per-tile stream: hardware ``pltpu.prng_seed`` on TPU, the
+    software counter generator in interpret mode."""
+    global _sw_rng_state
+    if _interpret():
+        _sw_rng_state = [jnp.asarray(s0).astype(jnp.uint32),
+                         jnp.asarray(s1).astype(jnp.uint32), 0]
+    else:
+        pltpu.prng_seed(s0, s1)
+
+
+def _pcg_permute(x):
+    """One round of the PCG output permutation (32-bit)."""
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    x = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
+    return (x >> jnp.uint32(22)) ^ x
+
+
+def _sw_random_bits(shape):
+    """(shape) uniform uint32 bits from the software generator; advances
+    the draw counter."""
+    s0, s1, n = _sw_rng_state
+    _sw_rng_state[2] = n + 1
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (rows * jnp.uint32(shape[1]) + cols) * jnp.uint32(0x9E3779B9)
+    x = x + jnp.uint32(n) * jnp.uint32(0x85EBCA6B)
+    x = _pcg_permute(x ^ s0)
+    x = _pcg_permute(x ^ s1)
+    return _pcg_permute(x)
+
+
 def _kernel_uniform(shape, offset=0):
-    """Uniform draws from the per-core hardware PRNG; in (0, 1] when
-    ``offset=1`` (safe for log), in [0, 1) when ``offset=0``.  Mosaic has no
-    uint32->f32 cast; the 24-bit values are sign-safe as int32."""
+    """Uniform draws from the per-core hardware PRNG (or the interpret-mode
+    software generator); in (0, 1] when ``offset=1`` (safe for log), in
+    [0, 1) when ``offset=0``.  Mosaic has no uint32->f32 cast; the 24-bit
+    values are sign-safe as int32."""
+    if _interpret():
+        i = ((_sw_random_bits(shape) >> jnp.uint32(8)).astype(jnp.int32)
+             + offset)
+        return i.astype(jnp.float32) * (1.0 / (1 << 24))
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     i = pltpu.bitcast((bits >> 8) + offset, jnp.int32)
     return i.astype(jnp.float32) * (1.0 / (1 << 24))
@@ -364,14 +421,15 @@ def _rows8(v):
 def _unrows8(v8):
     """Inverse of :func:`_rows8`: ``(8, T8)`` -> ``(1, 8*T8)``.
 
-    Rows are extracted with (1, 8) selector matmuls rather than sublane
-    slices: Mosaic cannot lane-concatenate vectors whose sublane offsets
-    differ ("result/input offset mismatch on non-concat dimension")."""
-    v0, v1, v2 = _bf16_split3(v8)
+    Mosaic cannot lane-concatenate vectors whose sublane offsets differ
+    ("result/input offset mismatch on non-concat dimension"), so each row
+    is first brought to sublane 0 with a sublane rotate (``pltpu.roll``)
+    and sliced there -- 8 cheap VPU rotates instead of the previous 24
+    exact-selector MXU matmuls (3-way bf16 split x 8 rows)."""
     rows = []
     for s in range(8):
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == s).astype(v8.dtype)
-        rows.append(_dot01(sel, v0) + _dot01(sel, v1) + _dot01(sel, v2))
+        r = v8 if s == 0 else pltpu.roll(v8, 8 - s, 0)
+        rows.append(r[0:1, :])
     return jnp.concatenate(rows, axis=1)
 
 
@@ -486,7 +544,7 @@ def _transform_rng_kernel(seed_ref, lat_ref, scale_ref, ct_ref, mu_ref,
     seed collisions are ~2^-64, and results are deterministic for a fixed
     seed and tile size."""
     tn = out_ref.shape[1]
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+    _seed_rng(seed_ref[0], seed_ref[1] + pl.program_id(0))
     onehot = _onehot_from_latent(lat_ref[:], n_comp, tn)
     scale = None if student_t else scale_ref[:]
     out_ref[:] = _propose_tile(
@@ -516,7 +574,7 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
     # 64-bit reseed per tile (Mosaic caps prng_seed at two values, so the
     # program id is folded into the second word -- distinct per tile for a
     # fixed key, ~2^-64 collision odds across steps)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+    _seed_rng(seed_ref[0], seed_ref[1] + pl.program_id(0))
     # inverse-CDF categorical: latent = sum_{k<K-1} [u >= cumw_k]; dead
     # components (weight 0) have an empty interval and are never drawn
     u = _kernel_uniform((1, tn), offset=0)
@@ -1023,7 +1081,7 @@ def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     ``mix_adapt/pmc.pyx:23-43,181-224,601-683``).
     """
     tn = x_ref.shape[1]
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+    _seed_rng(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     # ---- propose (as _propose_logq_kernel) --------------------------- #
     u = _kernel_uniform((1, tn), offset=0)
@@ -1742,7 +1800,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     nbt = KT // kb
     kbd = kb * dim
     tn = x_ref.shape[1]
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+    _seed_rng(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     # ---- propose ------------------------------------------------------ #
     # inverse-CDF categorical; padded components (cumw == 1) are never drawn
@@ -1936,7 +1994,7 @@ def pick_chain_block(dim: int, kt: int, sc: int, student_t_prop: bool,
 def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
                       tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
                       x0_ref, e0_ref,
-                      out_ref, acc_ref, xf_ref, ef_ref, *,
+                      out_ref, acc_ref, nan_ref, xf_ref, ef_ref, *,
                       dim, sc, student_t_prop, t_student_t):
     """``sc`` adaptive-Metropolis steps of a whole chain block per grid
     step, the chain state never leaving VMEM.
@@ -1959,17 +2017,19 @@ def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
     j = pl.program_id(0)            # chain block (slow axis)
     i = pl.program_id(1)            # step chunk (fast axis, sequential)
     n_i = pl.num_programs(1)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] + j * n_i + i)
+    _seed_rng(seed_ref[0], seed_ref[1] + j * n_i + i)
 
     @pl.when(i == 0)
     def _init():
         xf_ref[:] = x0_ref[:]
         ef_ref[:] = e0_ref[:]
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        nan_ref[:] = jnp.zeros_like(nan_ref)
 
     cur = xf_ref[:]                 # (D, CB)
     cur_e = ef_ref[:]               # (1, CB)
     acc = acc_ref[:]
+    nan_c = nan_ref[:]
     cb = cur.shape[1]
     dd = dim * dim
     # zexp[d*D+e, c] = z[e, c]; delta[d, c] = sum_e cholr[d*D+e, c] zexp
@@ -1994,14 +2054,20 @@ def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
         # exactly the reference's rho >= 1 shortcut
         log_u = jnp.log(_kernel_uniform((1, cb), offset=1))
         log_rho = prop_e - cur_e
-        accept = (~jnp.isnan(log_rho)) & (log_rho >= log_u)
+        # NaN proposals are counted and always rejected; the host decides
+        # whether that is an error (continue_on_NaN policy, matching
+        # MarkovChain.run) or business as usual
+        is_nan = jnp.isnan(log_rho)
+        accept = (~is_nan) & (log_rho >= log_u)
         cur = jnp.where(accept, proposed, cur)
         cur_e = jnp.where(accept, prop_e, cur_e)
         acc = acc + accept.astype(jnp.float32)
+        nan_c = nan_c + is_nan.astype(jnp.float32)
         out_ref[s] = cur
     xf_ref[:] = cur
     ef_ref[:] = cur_e
     acc_ref[:] = acc
+    nan_ref[:] = nan_c
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "dim"))
@@ -2019,9 +2085,11 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
     :param dof_prop: scalar Student-t proposal dof, or None for Gaussian.
     :param target: tuple ``(ta2, tb2, tlog_norm, tweights, tdof_col,
         tcenter)`` of mixture evaluation operands as :func:`fused_logq`.
-    :returns: ``(points (n_steps, D, C), accepts (C,), xfT (D, C),
-        ef (C,))`` -- every visited point (after-move state per step), the
-        per-chain accept counts, and the final state.
+    :returns: ``(points (n_steps, D, C), accepts (C,), nan_counts (C,),
+        xfT (D, C), ef (C,))`` -- every visited point (after-move state per
+        step), the per-chain accept counts, the per-chain count of
+        NaN-target proposals (always rejected in-kernel; the caller applies
+        the ``continue_on_NaN`` policy), and the final state.
     """
     C = x0T.shape[1]
     kt = target[0].shape[0] // dim
@@ -2069,15 +2137,16 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
     out_specs = [
         pl.BlockSpec((sc, dim, cb), lambda j, i: (i, 0, j),
                      memory_space=pltpu.VMEM),
-        chain(1), chain(dim), chain(1),
+        chain(1), chain(1), chain(dim), chain(1),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_steps, dim, c_pad), dtype),
         jax.ShapeDtypeStruct((1, c_pad), dtype),
+        jax.ShapeDtypeStruct((1, c_pad), dtype),
         jax.ShapeDtypeStruct((dim, c_pad), dtype),
         jax.ShapeDtypeStruct((1, c_pad), dtype),
     ]
-    points, acc, xf, ef = pl.pallas_call(
+    points, acc, nan_c, xf, ef = pl.pallas_call(
         functools.partial(_mcmc_pool_kernel, dim=dim, sc=sc,
                           student_t_prop=student_t_prop,
                           t_student_t=t_student_t),
@@ -2087,4 +2156,4 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
         out_shape=out_shape,
         interpret=_interpret(),
     )(*operands)
-    return points[:, :, :C], acc[0, :C], xf[:, :C], ef[0, :C]
+    return points[:, :, :C], acc[0, :C], nan_c[0, :C], xf[:, :C], ef[0, :C]

@@ -161,7 +161,7 @@ class MarkovChain(object):
             int(N),
         )
         if bool(has_nan) and not continue_on_NaN:
-            raise ValueError("encountered NaN")
+            raise ValueError("target returned NaN (pass continue_on_NaN=True to reject such proposals)")
         self.samples.append(N)[:] = _np.asarray(points)
         if self.target_values is not None:
             self.target_values.append(N)[:, 0] = _np.asarray(evals)
@@ -187,7 +187,7 @@ class MarkovChain(object):
                 log_rho += float(self.proposal.evaluate(self.current_point, proposed_point))
             if _np.isnan(log_rho):
                 if not continue_on_NaN:
-                    raise ValueError("encountered NaN")
+                    raise ValueError("target returned NaN (pass continue_on_NaN=True to reject such proposals)")
                 this_run[i_N] = self.current_point
             elif log_rho >= 0 or log_rho >= _np.log(rng.rand()):
                 accept_count += 1
@@ -242,7 +242,7 @@ class AdaptiveMarkovChain(MarkovChain):
         ``covar_scale_factor_max/min``, ``force_acceptance_max/min``,
         ``damping``.  (Reference: ``markov_chain.py:217-342``.)"""
         if args != ():
-            raise TypeError("keyword args only; try set_adapt_parameters(keyword = value)")
+            raise TypeError("positional arguments are not accepted; use set_adapt_params(name=value)")
 
         self.covar_scale_multiplier = kwargs.pop("covar_scale_multiplier", self.covar_scale_multiplier)
         self.covar_scale_factor = kwargs.pop("covar_scale_factor", self.covar_scale_factor)
@@ -253,7 +253,7 @@ class AdaptiveMarkovChain(MarkovChain):
         self.damping = kwargs.pop("damping", self.damping)
 
         if kwargs:
-            raise TypeError("unexpected keyword(s): " + str(kwargs.keys()))
+            raise TypeError("unknown adaptation parameter(s): " + str(kwargs.keys()))
 
     def adapt(self):
         r"""Update the proposal covariance using the points of the last run
@@ -278,13 +278,13 @@ class AdaptiveMarkovChain(MarkovChain):
         try:
             self.proposal.update(scaled_sigma)
         except _np.linalg.LinAlgError:
-            logger.warning("Markov chain self adaptation failed; trying diagonalization")
+            logger.warning("full-covariance proposal update was not PD; retrying with the diagonal only")
             diagonal_matrix = _np.diag(_np.diag(scaled_sigma))
             try:
                 self.proposal.update(diagonal_matrix)
-                logger.warning("Diagonalization succeeded")
+                logger.warning("diagonal-only update accepted")
             except _np.linalg.LinAlgError:
-                logger.warning("Diagonalization failed")
+                logger.warning("diagonal-only update not PD either; shrinking the old covariance")
                 self.proposal.update(self.proposal.sigma / self.covar_scale_multiplier)
 
     def _update_scale_factor(self, accept_rate):
@@ -303,7 +303,8 @@ class AdaptiveMarkovChain(MarkovChain):
 
 
 def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
-                           key=None, dof=None, **adapt_kwargs):
+                           key=None, dof=None, indicator=None,
+                           continue_on_NaN=False, **adapt_kwargs):
     """TPU-native multi-chain adaptive Metropolis: run ``C`` chains fully in
     parallel by ``vmap``-ing the scan kernel over the chain axis, adapting
     each chain's proposal covariance between cycles with the [HST01] rule.
@@ -324,6 +325,16 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     :param n_adapt_cycles: number of cycles; total steps = product.
     :param key: jax PRNG key (or None for seed 0).
     :param dof: Student-t proposal dof (scalar) or None for Gaussian.
+    :param indicator: optional jittable predicate ``x -> bool``; proposals
+        outside its support evaluate to ``-inf`` and are always rejected
+        (the reference merges indicators into the target the same way,
+        ``sampler/markov_chain.py:82``).  An indicator on a
+        ``MixtureParams`` target routes the run through the scan pool (the
+        fused VMEM-resident kernel evaluates pure mixture targets only).
+    :param continue_on_NaN: as :meth:`MarkovChain.run` -- ``False``
+        (default) raises :class:`ValueError` if any proposal's target value
+        came out NaN; ``True`` silently rejects such proposals and keeps
+        the chains running.
 
     Returns ``(samples (C, n_cycles*n_steps, D), accept_rates (C, n_cycles))``.
     """
@@ -337,7 +348,15 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     mix_target = None
     if isinstance(target, _core.MixtureParams):
         mix_target = target
-        target = lambda x: _core.mixture_logpdf(mix_target, x[None, :])[0]
+        target = lambda x, _mt=mix_target: _core.mixture_logpdf(_mt, x[None, :])[0]
+
+    if indicator is not None:
+        base_target = target
+        target = lambda x: jnp.where(
+            indicator(x), base_target(x), -jnp.inf)
+        # the fused kernel evaluates pure mixture targets in VMEM; an
+        # arbitrary indicator predicate cannot run there
+        mix_target = None
 
     covar_scale_multiplier = adapt_kwargs.pop("covar_scale_multiplier", 1.5)
     covar_scale_factor = adapt_kwargs.pop("covar_scale_factor", 2.38**2 / D)
@@ -347,7 +366,7 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     force_acceptance_min = adapt_kwargs.pop("force_acceptance_min", 0.15)
     damping = adapt_kwargs.pop("damping", 0.5)
     if adapt_kwargs:
-        raise TypeError("unexpected keyword(s): " + str(adapt_kwargs.keys()))
+        raise TypeError("unknown adaptation parameter(s): " + str(adapt_kwargs.keys()))
 
     sigma0 = jnp.asarray(sigma0)
     if sigma0.ndim == 2:
@@ -378,17 +397,18 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
             proposed = current + jnp.einsum("cde,ce->cd", chols, z)
             proposed_eval = vtarget(proposed)
             log_rho = proposed_eval - current_eval
-            accept = (~jnp.isnan(log_rho)) & ((log_rho >= 0) | (log_rho >= log_u))
+            is_nan = jnp.isnan(log_rho)
+            accept = (~is_nan) & ((log_rho >= 0) | (log_rho >= log_u))
             current = jnp.where(accept[:, None], proposed, current)
             current_eval = jnp.where(accept, proposed_eval, current_eval)
-            return (current, current_eval), (current, accept)
+            return (current, current_eval), (current, accept, is_nan)
 
-        (currents, current_evals), (points, accepts) = jax.lax.scan(
+        (currents, current_evals), (points, accepts, nans) = jax.lax.scan(
             step, (currents, current_evals), (z_all, log_u_all)
         )
         return (points.transpose(1, 0, 2),
                 jnp.mean(accepts.astype(starts.dtype), axis=0),
-                currents, current_evals)
+                jnp.sum(nans), currents, current_evals)
 
     @jax.jit
     def adapt_step(unscaled_sigma, scale_factor, points, accept_rate, adapt_count):
@@ -431,12 +451,13 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
             seed = jax.lax.bitcast_convert_type(
                 jax.random.bits(key, (2,), "uint32"), jnp.int32)
             cholr = chols.transpose(1, 2, 0).reshape(D * D, C)
-            points, accepts, xf, ef = fused_mcmc_pool(
+            points, accepts, nan_counts, xf, ef = fused_mcmc_pool(
                 seed, currentT, current_eval, cholr,
                 None if dof is None else float(dof), t_ops,
                 n_steps=n, dim=D)
             # (n, D, C) -> (C, n, D) to match the scan path's layout
-            return (points.transpose(2, 0, 1), accepts / n, xf, ef)
+            return (points.transpose(2, 0, 1), accepts / n,
+                    jnp.sum(nan_counts), xf, ef)
 
     current = starts
     currentT = starts.T
@@ -444,6 +465,12 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         current_eval = _core.mixture_logpdf_T(mix_target, currentT)
     else:
         current_eval = jax.vmap(target)(starts)
+    bad_starts = _np.flatnonzero(~_np.isfinite(_np.asarray(current_eval)))
+    if bad_starts.size:
+        raise ValueError(
+            "target is not finite at %d starting point(s) (first offenders: "
+            "%s)" % (bad_starts.size, bad_starts[:5].tolist())
+        )
     chols = jnp.linalg.cholesky(sigma0)
     unscaled = sigma0 / covar_scale_factor
     scale_factors = jnp.full((C,), covar_scale_factor, dtype=starts.dtype)
@@ -453,12 +480,18 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
     for cycle in range(n_adapt_cycles):
         key, sub = jax.random.split(key)
         if use_fused:
-            points, rates, currentT, current_eval = fused_cycle(
+            points, rates, nan_count, currentT, current_eval = fused_cycle(
                 sub, currentT, current_eval, chols, int(n_steps)
             )
         else:
-            points, rates, current, current_eval = all_chains_cycle(
+            points, rates, nan_count, current, current_eval = all_chains_cycle(
                 sub, current, current_eval, chols, int(n_steps)
+            )
+        if not continue_on_NaN and int(nan_count) > 0:
+            raise ValueError(
+                "target returned NaN for %d proposal(s) in adaptation cycle "
+                "%d (pass continue_on_NaN=True to reject such proposals)"
+                % (int(nan_count), cycle)
             )
         all_samples.append(points)
         all_rates.append(rates)
