@@ -240,8 +240,13 @@ def combine_weights(samples, weights, proposals):
         )
 
     history = _History(1, N_total)
-    all_positive = all((w > 0.0).all() for w in weights)
-    if all_positive:
+    # the linear path exists ONLY for negative weights (it evaluates
+    # exp(log q), which underflows to 0/0 at high dimension); weights that
+    # are exactly 0 -- e.g. float32-underflowed w = exp(log p - log q) --
+    # stay on the log path, where log(0) = -inf propagates to a combined
+    # weight of exactly 0
+    any_negative = any((w < 0.0).any() for w in weights)
+    if not any_negative:
         _combine_weights_log(samples, weights, proposals, history, N_total, N)
     else:
         _combine_weights_linear(samples, weights, proposals, history, N_total, N)

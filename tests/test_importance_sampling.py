@@ -220,3 +220,26 @@ class TestCombineWeights:
     def test_mismatched_lengths_raise(self):
         with pytest.raises(AssertionError):
             combine_weights(self.samples, self.weights[:1], [self.prop1, self.prop2])
+
+
+def test_combine_weights_zero_weights_stay_on_log_path():
+    """float32-underflowed (exactly zero) stored weights must combine to a
+    combined weight of exactly 0 via the log path -- NOT reroute to the
+    linear path (which evaluates exp(log q) and produces 0/0 at high
+    dimension).  Negative weights still take the linear path."""
+    import numpy as np
+    from pypmc_tpu.density import create_gaussian_mixture
+    from pypmc_tpu.sampler import combine_weights
+
+    rng = np.random.default_rng(0)
+    prop1 = create_gaussian_mixture([np.zeros(2)], [np.eye(2)])
+    prop2 = create_gaussian_mixture([np.ones(2)], [np.eye(2) * 2.0])
+    s1 = rng.normal(0, 1, (50, 2))
+    s2 = rng.normal(1, 1.4, (50, 2))
+    w1 = np.abs(rng.normal(1, 0.1, 50))
+    w2 = np.abs(rng.normal(1, 0.1, 50))
+    w1[[3, 17]] = 0.0  # underflowed samples
+    combined = combine_weights([s1, s2], [w1, w2], [prop1, prop2])[:][:, 0]
+    assert np.isfinite(combined).all()
+    assert combined[3] == 0.0 and combined[17] == 0.0
+    assert (combined[np.asarray(w1 > 0).nonzero()[0]] > 0).all()
