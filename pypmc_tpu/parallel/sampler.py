@@ -355,17 +355,30 @@ class ParallelSampler(object):
         self.samples = _History(proposal.dim, prealloc)
         key = as_jax_key(rng)
         self._key = key if key is not None else jax.random.PRNGKey(0)
+        # device-resident runs not yet flushed to the host Histories:
+        # list of (samples_T (D, n) sharded, weights (n,) sharded)
+        self._device_pending = []
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def run(self, N=1, trace_sort=False):
+    def run(self, N=1, trace_sort=False, to_host=True):
         """Draw ``N`` samples *per device* (total ``N * n_devices``,
         mirroring MPISampler's per-rank semantics,
-        ``tools/parallel_sampler.py:35-58``); store the global samples and
-        weights in the host History.  Return the latent component indices
-        if ``trace_sort``."""
+        ``tools/parallel_sampler.py:35-58``).
+
+        With ``to_host=True`` (default) the global samples and weights are
+        copied into the host Histories, as MPISampler gathers to rank 0.
+        With ``to_host=False`` they stay SHARDED ON DEVICE (accessible via
+        :attr:`device_runs`; the O(N*D) device->host transfer -- ~400 MB/step
+        at 10^7 particles in D=10 -- is deferred until :meth:`gather` or the
+        next ``to_host=True`` run).  Device-side reductions
+        (:meth:`evidence_stats`, the PMC/VB updates, ``combine_weights``)
+        consume the sharded arrays directly, so a full adaptation loop never
+        pays the transfer at all.
+
+        Return the latent component indices if ``trace_sort``."""
         if N == 0:
             return 0
         n_total = int(N) * self.n_devices
@@ -373,16 +386,63 @@ class ParallelSampler(object):
         samples_T, weights, latent = run_is_step_sharded(
             params, self.target, self._next_key(), n_total, self.mesh
         )
-        self.samples.append(n_total)[:] = _np.asarray(samples_T).T
-        self.weights.append(n_total)[:, 0] = _np.asarray(weights)
-        if self.target_values is not None:
-            log_q = _np.asarray(_core.mixture_logpdf_T(params, samples_T))
-            self.target_values.append(n_total)[:, 0] = (
-                _np.log(_np.asarray(weights)) + log_q
-            )
+        self._device_pending.append((samples_T, weights))
+        if to_host:
+            self.gather()
         if trace_sort:
-            return _np.asarray(latent)
+            return latent if not to_host else self._to_host(latent)
         return None
+
+    @property
+    def device_runs(self):
+        """Device-resident ``(samples_T, weights)`` tuples of the runs not
+        yet flushed to the host Histories (``to_host=False`` runs)."""
+        return list(self._device_pending)
+
+    @staticmethod
+    def _to_host(x):
+        """Materialize a (possibly cross-process-sharded) array on this
+        host.  Single process: a plain transfer.  Multi-process runtime:
+        an all-gather, so EVERY process holds the global arrays -- the
+        symmetric replacement for MPISampler's gather-to-rank-0."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return _np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return _np.asarray(x)
+
+    def gather(self):
+        """Flush all device-resident runs into the host Histories (the
+        deferred MPISampler-gather).  Returns the number of runs flushed."""
+        flushed = 0
+        for samples_T, weights in self._device_pending:
+            n = samples_T.shape[1]
+            self.samples.append(n)[:] = self._to_host(samples_T).T
+            self.weights.append(n)[:, 0] = self._to_host(weights)
+            if self.target_values is not None:
+                params = self.proposal.stacked_params()
+                log_q = self._to_host(_core.mixture_logpdf_T(params, samples_T))
+                self.target_values.append(n)[:, 0] = (
+                    _np.log(self.weights[-1][:, 0]) + log_q
+                )
+            flushed += 1
+        self._device_pending = []
+        return flushed
+
+    def evidence_stats(self):
+        """``(sum w, sum w^2, n)`` over ALL runs (host Histories plus
+        device-resident ones), with the device terms reduced on device --
+        only three scalars cross to the host.  Evidence = ``sum_w / n``,
+        and perplexity/ESS follow from the same sums."""
+        sum_w = float(self.weights[:][:, 0].sum()) if len(self.weights) else 0.0
+        sum_w2 = float((self.weights[:][:, 0] ** 2).sum()) if len(self.weights) else 0.0
+        n = self.weights[:].shape[0] if len(self.weights) else 0
+        for _, w in self._device_pending:
+            sum_w += float(jnp.sum(w))
+            sum_w2 += float(jnp.sum(w * w))
+            n += int(w.shape[0])
+        return sum_w, sum_w2, n
 
     @property
     def samples_list(self):

