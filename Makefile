@@ -5,7 +5,7 @@ PYTHON ?= python
 CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           MPLBACKEND=Agg PYTHONPATH=.
 
-.PHONY: check check-fast run-examples bench entry clean
+.PHONY: check check-fast check-parallel run-examples bench entry clean
 
 # full unit + sharding test suite (8 virtual CPU devices, float64)
 check:
@@ -13,6 +13,13 @@ check:
 
 check-fast:
 	$(PYTHON) -m pytest tests/ -q -x -m "not slow"
+
+# the reference's `mpirun -n 2` full-suite re-run (Makefile:101-104):
+# the ENTIRE suite under two pytest processes joined into one
+# jax.distributed runtime (4 virtual CPU devices each = the same 8-device
+# global mesh, spanning a real process boundary)
+check-parallel:
+	env PYPMC_TPU_TEST_NPROC=2 $(PYTHON) -m pytest tests/ -q
 
 # run every example on the simulated 8-device CPU mesh
 run-examples:

@@ -91,8 +91,36 @@ def main():
         sizes.append(n)
         n *= 2
 
+    def time_psum_payload(mesh, n_dev, reps=30):
+        """Measured wall time of JUST the per-step collective: psum the
+        exact O(K D^2) sufficient-statistic payload over this mesh.
+        Separates the collective from local compute so the weak-scaling
+        deficit is a measured split, not byte accounting."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        payload = (jnp.zeros((K,), dtype), jnp.zeros((K,), dtype),
+                   jnp.zeros((K, D), dtype), jnp.zeros((K, D, D), dtype),
+                   jnp.zeros((K,), dtype), jnp.zeros((6,), dtype))
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(),) * 6,
+                 out_specs=(P(),) * 6, check_vma=False)
+        def allreduce(*stats):
+            return tuple(jax.lax.psum(s, "particles") for s in stats)
+
+        jax.block_until_ready(allreduce(*payload))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            payload = allreduce(*payload)
+        jax.block_until_ready(payload)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    from functools import partial
+
     results = []
     base_sps = None
+    base_ms = None
     for n_dev in sizes:
         mesh = particle_mesh(all_devices[:n_dev])
         n_total = args.per_device * n_dev
@@ -106,9 +134,18 @@ def main():
         sps = n_total / dt
         if base_sps is None:
             base_sps = sps
+            base_ms = dt * 1e3
         eff = sps / (base_sps * n_dev)
+        # phase split: local compute = the 1-device step on the same
+        # per-device particle count; collective = measured psum of the
+        # real statistic payload; residual = scheduling/contention
+        psum_ms = time_psum_payload(mesh, n_dev) if n_dev > 1 else 0.0
+        residual_ms = dt * 1e3 - base_ms - psum_ms
         results.append(dict(devices=n_dev, particles=n_total,
                             step_ms=round(dt * 1e3, 2),
+                            local_compute_ms=round(base_ms, 2),
+                            psum_ms=round(psum_ms, 3),
+                            residual_ms=round(residual_ms, 2),
                             samples_per_s=round(sps),
                             weak_scaling_efficiency=round(eff, 3)))
         print(json.dumps(results[-1]), flush=True)
