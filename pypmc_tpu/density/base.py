@@ -23,7 +23,7 @@ class ProbabilityDensity(object):
 
     def __init__(self):
         raise NotImplementedError(
-            "Do not create instances from this class, use derived classes instead."
+            "abstract density class; instantiate a concrete subclass"
         )
 
     def evaluate(self, x):
@@ -58,7 +58,7 @@ class LocalDensity(object):
 
     def __init__(self):
         raise NotImplementedError(
-            "Do not create instances from this class, use derived classes instead."
+            "abstract density class; instantiate a concrete subclass"
         )
 
     def evaluate(self, x, y):

@@ -30,14 +30,14 @@ def chol_inv_det_host(sigma):
     if sigma.ndim == 0:
         sigma = sigma.reshape(1, 1)
     if not _np.allclose(sigma, sigma.T):
-        raise _np.linalg.LinAlgError("matrix not symmetric:\n" + repr(sigma))
+        raise _np.linalg.LinAlgError("covariance must be symmetric; got\n" + repr(sigma))
     l = _np.linalg.cholesky(sigma)  # raises LinAlgError if not PD
     u = _solve_triangular(l, _np.eye(len(l)), lower=True)  # L^{-1}
     inverse = u.T.dot(u)
     log_det = 2.0 * _np.sum(_np.log(_np.diag(l)))
     if not _np.isfinite(log_det):
         raise _np.linalg.LinAlgError(
-            "Nonpositive eigenvalues lead to invalid determinant " + repr(log_det)
+            "covariance is not positive definite (nonpositive eigenvalue) " + repr(log_det)
         )
     return l, inverse, log_det
 
@@ -118,7 +118,7 @@ class Gauss(ProbabilityDensity):
         self.log_det_sigma = new_local.log_det_sigma
         self.sigma = new_local.sigma
         assert self.dim == self.sigma.shape[0], (
-            "Dimensions of mean (%d) and covariance matrix (%d) do not match!"
+            "mean has dimension %d but the covariance matrix is %d-dimensional"
             % (self.dim, self.sigma.shape[0])
         )
 

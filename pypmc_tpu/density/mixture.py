@@ -45,7 +45,7 @@ class MixtureDensity(ProbabilityDensity):
 
     def __init__(self, components, weights=None):
         self.components = [_deepcopy(component) for component in components]
-        assert self.components, "Must have at least one component!"
+        assert self.components, "a mixture needs at least one component"
         self.dim = self.components[0].dim
         _np.testing.assert_equal(
             [comp.dim for comp in self.components],
@@ -182,11 +182,11 @@ class MixtureDensity(ProbabilityDensity):
         return number_of_components
 
     def normalize(self):
-        """Normalize the component weights to sum up to 1."""
+        """Rescale the component weights so they sum to 1."""
         self.weights /= self.weights.sum()
 
     def normalized(self):
-        """Check if the component weights are normalized."""
+        """are the component weights normalized?"""
         return _np.allclose(self.weights.sum(), 1.0)
 
     def prune(self, threshold=0.0):
@@ -228,12 +228,12 @@ class MixtureDensity(ProbabilityDensity):
         """
         x = _np.asarray(x)
         assert x.shape[1] == self.dim, (
-            "The points in ``x`` have the wrong dimension (%i instead of %i)"
+            "points have dimension %i, mixture expects %i"
             % (x.shape[1], self.dim)
         )
         if individual is not None:
             assert individual.shape == (len(x), len(self)), (
-                "For the provided ``x``, ``individual`` must have shape %s"
+                "individual output buffer must have shape %s for this x"
                 % ((len(x), len(self)),)
             )
 
@@ -249,11 +249,11 @@ class MixtureDensity(ProbabilityDensity):
             res = _np.asarray(_core.logsumexp(logpdfs, _np.asarray(params.weights), axis=-1))
             if out is None:
                 return res
-            assert len(out) == len(x), "``out`` must have length %i" % len(x)
+            assert len(out) == len(x), "out has the wrong length; expected %i" % len(x)
             out[:] = res
             return out
         else:
-            assert out is None, "If ``components`` is not None, ``out`` must be None."
+            assert out is None, "out cannot be combined with a components subset"
             assert individual is not None
             for k in components:
                 individual[:, k] = logpdfs[:, k]
@@ -271,7 +271,7 @@ class MixtureDensity(ProbabilityDensity):
             out[:] = res
             return out
         else:
-            assert out is None, "If ``components`` is not None, ``out`` must be None."
+            assert out is None, "out cannot be combined with a components subset"
             for k in components:
                 self.components[k].multi_evaluate(x, individual[:, k])
             return None
@@ -288,7 +288,7 @@ class MixtureDensity(ProbabilityDensity):
         sample.
         """
         if trace and shuffle:
-            raise ValueError("Either ``shuffle`` or ``trace`` must be ``False``!")
+            raise ValueError("shuffle and trace cannot both be requested")
 
         key = as_jax_key(rng) if rng is not RNG_DEFAULT else None
         if key is not None and self.kind != "generic":
@@ -333,7 +333,7 @@ def create_gaussian_mixture(means, covs, weights=None):
     """Create a :class:`MixtureDensity` with :class:`Gauss` components.
     (Reference: ``mixture.pyx:214-247``.)"""
     assert len(means) == len(covs), (
-        "Number of means (%i) does not match number of covariances (%i)"
+        "got %i means but %i covariance matrices"
         % (len(means), len(covs))
     )
     return MixtureDensity([Gauss(m, c) for m, c in zip(means, covs)], weights)
@@ -352,7 +352,7 @@ def create_t_mixture(means, covs, dofs, weights=None):
     """Create a :class:`MixtureDensity` with :class:`StudentT` components.
     (Reference: ``mixture.pyx:279-318``.)"""
     assert len(means) == len(covs) and len(means) == len(dofs), (
-        "Number of ``means`` (%i), ``covs`` (%i) and ``dofs`` (%i) do not match."
+        "got %i means, %i covariances and %i dofs -- counts must agree"
         % (len(means), len(covs), len(dofs))
     )
     return MixtureDensity(

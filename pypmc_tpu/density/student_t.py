@@ -26,7 +26,7 @@ class LocalStudentT(LocalGauss):
     def __init__(self, sigma, dof):
         self.symmetric = True
         assert dof > 0.0, (
-            "Degree of freedom (``dof``) must be greater than zero (got %g)." % dof
+            "the degree of freedom must be positive, got %g" % dof
         )
         self.dof = float(dof)
         self.update(sigma)
@@ -84,7 +84,7 @@ class StudentT(ProbabilityDensity):
         self.log_det_sigma = new_local.log_det_sigma
         self.sigma = new_local.sigma
         assert self.dim == self.sigma.shape[0], (
-            "Dimensions of mean (%d) and covariance matrix (%d) do not match!"
+            "mean has dimension %d but the covariance matrix is %d-dimensional"
             % (self.dim, self.sigma.shape[0])
         )
         self._eval_prefactor = -0.5 * (self.dof + self.dim)

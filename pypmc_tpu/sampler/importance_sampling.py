@@ -40,7 +40,7 @@ def calculate_expectation(samples, weights, f):
     jittable, with a host-loop fallback.
     (Reference: ``importance_sampling.py:13-44``.)"""
     assert len(samples) == len(weights), (
-        "The number of samples (got %i) must equal the number of weights (got %i)."
+        "got %i samples but %i weights"
         % (len(samples), len(weights))
     )
     weights = jnp.asarray(weights)
@@ -59,7 +59,7 @@ def calculate_expectation(samples, weights, f):
 def calculate_mean(samples, weights):
     """Mean of weighted samples.  (Reference: ``importance_sampling.py:46-60``.)"""
     assert len(samples) == len(weights), (
-        "The number of samples (got %i) must equal the number of weights (got %i)."
+        "got %i samples but %i weights"
         % (len(samples), len(weights))
     )
     samples = jnp.asarray(samples)
@@ -71,7 +71,7 @@ def calculate_covariance(samples, weights):
     """Unbiased covariance matrix of weighted samples, with the reference's
     weighted-unbiasing factor (``importance_sampling.py:62-83``)."""
     assert len(samples) == len(weights), (
-        "The number of samples (got %i) must equal the number of weights (got %i)."
+        "got %i samples but %i weights"
         % (len(samples), len(weights))
     )
     samples = jnp.asarray(samples)
@@ -216,10 +216,10 @@ def combine_weights(samples, weights, proposals):
     weights = [_np.asarray(w) for w in weights]
 
     assert len(samples) == len(weights), (
-        "Got %i importance-sampling runs but %i weights" % (len(samples), len(weights))
+        "%i sample runs vs %i weight runs -- counts must agree" % (len(samples), len(weights))
     )
     assert len(samples) == len(proposals), (
-        "Got %i importance-sampling runs but %i proposal densities"
+        "%i sample runs vs %i proposals -- counts must agree"
         % (len(samples), len(proposals))
     )
 
@@ -227,15 +227,15 @@ def combine_weights(samples, weights, proposals):
     N = _np.empty(len(proposals))
     N_total = 0
     for i in range(len(N)):
-        assert samples[i].ndim == 2, "``samples[%i]`` is not matrix like." % i
+        assert samples[i].ndim == 2, "samples[%i] must be a 2-D array" % i
         assert samples[i].shape[-1] == dim, (
-            "Dimension of samples[0] (%i) does not match the dimension of samples[%i] (%i)"
+            "samples[0] has dimension %i but samples[%i] has %i"
             % (dim, i, samples[i].shape[-1])
         )
         N[i] = len(samples[i])
         N_total += int(N[i])
         assert N[i] == len(weights[i]), (
-            "Length of weights[%i] (%i) does not match length of samples[%i] (%i)"
+            "weights[%i] has length %i but samples[%i] has %i"
             % (i, len(weights[i]), i, N[i])
         )
 
@@ -251,7 +251,7 @@ def combine_weights(samples, weights, proposals):
     else:
         _combine_weights_linear(samples, weights, proposals, history, N_total, N)
 
-    assert _np.isfinite(history[:][:, 0]).all(), "Encountered inf or nan mixture weights"
+    assert _np.isfinite(history[:][:, 0]).all(), "combined mixture weights contain inf/nan"
     return history
 
 
@@ -329,7 +329,7 @@ def _combine_weights_log(samples, weights, proposals, history, N_total, N):
             combined[:, 0] = _np.asarray(jnp.exp(log_w_t))
 
     sum_w = history[:][:, 0].sum()
-    assert sum_w > 0, "Sum of weights <=0 (%g)" % sum_w
+    assert sum_w > 0, "total combined weight must be positive, got %g" % sum_w
     return history
 
 

@@ -22,9 +22,9 @@ class History(object):
 
     def __init__(self, dim, prealloc=1):
         self.dim = int(dim)
-        assert self.dim == dim, "``dim`` must be an integer"
+        assert self.dim == dim, "dim must be an integer"
         self.prealloc = max(int(prealloc), 1)
-        assert self.prealloc == max(prealloc, 1), "``prealloc`` must be an integer"
+        assert self.prealloc == max(prealloc, 1), "prealloc must be an integer"
         self.clear()
 
     def __getitem__(self, item):
@@ -32,7 +32,7 @@ class History(object):
             return _np.array(())
         if isinstance(item, slice):
             if item.step is not None:
-                raise NotImplementedError("strided slicing is not supported")
+                raise NotImplementedError("slices with a step are not supported")
             selected = self._run_slices[item]
             return self._points[selected[0][0] : selected[-1][1]]
         start, stop = self._run_slices[item]
@@ -45,7 +45,7 @@ class History(object):
         """Allocate memory for a new run and return a writable ``(n, dim)``
         view into it."""
         new_points_len = int(new_points_len)
-        assert new_points_len >= 1, "Must at least append one point!"
+        assert new_points_len >= 1, "append needs at least one point"
 
         start = self._run_slices[-1][1] if self._run_slices else 0
         stop = start + new_points_len
@@ -61,6 +61,6 @@ class History(object):
         return self._points[start:stop]
 
     def clear(self):
-        """Delete the history."""
+        """Drop all stored runs."""
         self._points = _np.empty((self.prealloc, self.dim))
         self._run_slices = []

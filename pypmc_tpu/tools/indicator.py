@@ -28,7 +28,7 @@ def ball(center, radius=1.0, bdy=True):
         return dist <= radius if bdy else dist < radius
 
     ball_indicator.__doc__ = (
-        "automatically generated ball indicator function:"
+        "ball indicator:"
         "\ncenter = %s\nradius = %s\nbdy    = %s" % (center, radius, bdy)
     )
     return ball_indicator
@@ -42,7 +42,7 @@ def hyperrectangle(lower, upper, bdy=True):
     lower = jnp.asarray(lower)
     upper = jnp.asarray(upper)
     if _np.any(_np.asarray(upper) <= _np.asarray(lower)):
-        raise ValueError("invalid input; found upper <= lower")
+        raise ValueError("every upper bound must exceed its lower bound")
 
     def hr_indicator(x):
         x = jnp.asarray(x)
@@ -51,7 +51,7 @@ def hyperrectangle(lower, upper, bdy=True):
         return jnp.all(lower < x) & jnp.all(x < upper)
 
     hr_indicator.__doc__ = (
-        "automatically generated hyperrectangle indicator function:"
+        "hyperrectangle indicator:"
         "\nlower = %s\nupper = %s\nbdy   = %s" % (lower, upper, bdy)
     )
     return hr_indicator
