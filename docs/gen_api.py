@@ -144,6 +144,8 @@ def main():
             f.write("\n".join(body))
         index.append("- [%s](%s)" % (page, fname))
         print("wrote docs/api/%s" % fname)
+    index.append("- [references](../references.md) \u2014 collected "
+                 "bibliography for the [Cap+08]-style citation keys")
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write("\n".join(index) + "\n")
     print("wrote docs/api/README.md")
