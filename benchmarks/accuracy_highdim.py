@@ -33,10 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pypmc_tpu as pt  # noqa: E402
 
 
-def make_target(dim, seed=7, separation=6.0):
-    """A bimodal D-dimensional Gaussian mixture (weights 0.35/0.65) with
+def make_target(dim, seed=7, separation=6.0, student_t=False):
+    """A bimodal D-dimensional mixture (weights 0.35/0.65) with
     anisotropic, rotated covariances and modes ``separation`` apart along a
-    random direction.  Normalized, so the analytic evidence is exactly 1."""
+    random direction.  Normalized, so the analytic evidence is exactly 1.
+    With ``student_t``, the components are Student-t with dof 10/14 (the
+    reference's heavy-tailed regime)."""
     rng = np.random.default_rng(seed)
     direction = rng.normal(size=dim)
     direction /= np.linalg.norm(direction)
@@ -46,12 +48,16 @@ def make_target(dim, seed=7, separation=6.0):
         a = rng.normal(0, 0.15 / np.sqrt(dim), size=(dim, dim))
         covs.append(np.eye(dim) * rng.uniform(0.5, 1.0) + a @ a.T)
     weights = np.array([0.35, 0.65])
+    if student_t:
+        return pt.density.create_t_mixture(
+            means, np.array(covs), np.array([10.0, 14.0]), weights)
     return pt.density.create_gaussian_mixture(means, np.array(covs), weights)
 
 
 def run_pipeline(dim, n_chains=32, mcmc_steps=400, mcmc_cycles=12, thin=5,
                  n_is1=1 << 19, n_is2=1 << 21, K_g=1, seed=2024,
-                 inflate=2.0, pmc_steps=10, pmc_dof=8.0, verbose=True):
+                 inflate=2.0, pmc_steps=10, pmc_dof=8.0, student_t_target=False,
+                 verbose=True):
     """Run the full pipeline; return a dict with the evidence estimate, its
     MC uncertainty, perplexity/ESS of the combined weights, and phase wall
     times."""
@@ -59,7 +65,7 @@ def run_pipeline(dim, n_chains=32, mcmc_steps=400, mcmc_cycles=12, thin=5,
 
     say = print if verbose else (lambda *a, **k: None)
     t_all = time.perf_counter()
-    target_mixture = make_target(dim)
+    target_mixture = make_target(dim, student_t=student_t_target)
     target_params = target_mixture.stacked_params()
     log_target = target_mixture.evaluate_fn(batched=True)
 
@@ -67,7 +73,10 @@ def run_pipeline(dim, n_chains=32, mcmc_steps=400, mcmc_cycles=12, thin=5,
     rng = np.random.default_rng(seed)
     # overdispersed initialization: mode centers + 4x-inflated mode noise
     which = rng.integers(0, 2, n_chains)
-    m, c, _ = pt.density.recover_gaussian_mixture(target_mixture)
+    if student_t_target:
+        m, c, _, _ = pt.density.recover_t_mixture(target_mixture)
+    else:
+        m, c, _ = pt.density.recover_gaussian_mixture(target_mixture)
     starts = np.stack([
         rng.multivariate_normal(m[k], 4.0 * c[k]) for k in which
     ]).astype(np.asarray(target_params.means).dtype)
@@ -225,12 +234,14 @@ def main():
     ap.add_argument("--mcmc-cycles", type=int, default=12)
     ap.add_argument("--is-samples", type=int, default=1 << 21)
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--student-t-target", action="store_true")
     args = ap.parse_args()
 
     result = run_pipeline(
         args.dim, n_chains=args.chains, mcmc_steps=args.mcmc_steps,
         mcmc_cycles=args.mcmc_cycles, n_is1=args.is_samples // 4,
-        n_is2=args.is_samples, seed=args.seed)
+        n_is2=args.is_samples, seed=args.seed,
+        student_t_target=args.student_t_target)
     ok = result["abs_error_pct"] < 1.0
     print("RESULT %s: %.3f%% evidence error at D=%d (claim: <1%%)"
           % ("OK" if ok else "FAIL", result["abs_error_pct"], args.dim))

@@ -425,7 +425,19 @@ def _unrows8(v8):
     ("result/input offset mismatch on non-concat dimension"), so each row
     is first brought to sublane 0 with a sublane rotate (``pltpu.roll``)
     and sliced there -- 8 cheap VPU rotates instead of the previous 24
-    exact-selector MXU matmuls (3-way bf16 split x 8 rows)."""
+    exact-selector MXU matmuls (3-way bf16 split x 8 rows).  Set
+    ``PYPMC_TPU_UNROWS8_MATMUL=1`` to select the matmul variant (kept for
+    A/B measurement)."""
+    import os
+
+    if os.environ.get("PYPMC_TPU_UNROWS8_MATMUL"):
+        v0, v1, v2 = _bf16_split3(v8)
+        rows = []
+        for s in range(8):
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == s
+                   ).astype(v8.dtype)
+            rows.append(_dot01(sel, v0) + _dot01(sel, v1) + _dot01(sel, v2))
+        return jnp.concatenate(rows, axis=1)
     rows = []
     for s in range(8):
         r = v8 if s == 0 else pltpu.roll(v8, 8 - s, 0)
