@@ -440,6 +440,12 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         mix_target is not None
         and starts.dtype == jnp.float32
         and _core.use_pallas(starts, mix_target.K, D)
+        # the pool kernel's per-chain Cholesky runs as a (D^2, CB) selector
+        # expansion per step; beyond D ~ 24 the unrolled step-chunk kernel
+        # becomes compile-hostile (a D=40 compile did not complete through
+        # this environment's remote compile service) -- high-D multi-chain
+        # runs use the scan pool, which is XLA all the way
+        and D <= 24
     )
     if use_fused:
         from ..ops.pallas_kernels import fused_mcmc_pool
