@@ -58,171 +58,48 @@ def run_pipeline(dim, n_chains=32, mcmc_steps=400, mcmc_cycles=12, thin=5,
                  n_is1=1 << 19, n_is2=1 << 21, K_g=1, seed=2024,
                  inflate=2.0, pmc_steps=10, pmc_dof=8.0, student_t_target=False,
                  verbose=True):
-    """Run the full pipeline; return a dict with the evidence estimate, its
-    MC uncertainty, perplexity/ESS of the combined weights, and phase wall
-    times."""
+    """Build the analytic-evidence target, draw overdispersed starts, and
+    run the library pipeline (:func:`pypmc_tpu.pipeline.integrate` -- the
+    stages and high-D defaults live THERE; this harness only grades the
+    result against the known evidence of 1)."""
     import jax
 
-    say = print if verbose else (lambda *a, **k: None)
-    t_all = time.perf_counter()
     target_mixture = make_target(dim, student_t=student_t_target)
-    target_params = target_mixture.stacked_params()
-    log_target = target_mixture.evaluate_fn(batched=True)
-
-    # ---- 1. adaptive-MCMC chain pool (fused VMEM-resident kernel on TPU)
     rng = np.random.default_rng(seed)
-    # overdispersed initialization: mode centers + 4x-inflated mode noise
     which = rng.integers(0, 2, n_chains)
     if student_t_target:
         m, c, _, _ = pt.density.recover_t_mixture(target_mixture)
     else:
         m, c, _ = pt.density.recover_gaussian_mixture(target_mixture)
-    starts = np.stack([
-        rng.multivariate_normal(m[k], 4.0 * c[k]) for k in which
-    ]).astype(np.asarray(target_params.means).dtype)
+    # overdispersed initialization: mode centers + 4x-inflated mode noise
+    starts = np.stack([rng.multivariate_normal(m[k], 4.0 * c[k]) for k in which])
 
     t0 = time.perf_counter()
-    pool, rates = pt.sampler.sample_adaptive_chains(
-        target_params, starts, np.eye(dim) * 2.38 ** 2 / dim,
-        n_steps=mcmc_steps, n_adapt_cycles=mcmc_cycles,
-        key=jax.random.PRNGKey(seed),
-    )
-    pool = np.asarray(pool)
-    t_mcmc = time.perf_counter() - t0
-    burn = mcmc_steps * mcmc_cycles // 2
-    chains = [c[burn:] for c in pool]
-    say("MCMC: %d chains x %d steps, accept %.2f..%.2f, %.1f s"
-        % (n_chains, mcmc_steps * mcmc_cycles,
-           np.asarray(rates)[:, -1].min(), np.asarray(rates)[:, -1].max(),
-           t_mcmc))
+    r = pt.pipeline.integrate(
+        target_mixture, dim, starts, key=jax.random.PRNGKey(seed),
+        mcmc_steps=mcmc_steps, mcmc_cycles=mcmc_cycles, thin=thin, K_g=K_g,
+        inflate=inflate, pmc_steps=pmc_steps, pmc_dof=pmc_dof,
+        n_is1=n_is1, n_is2=n_is2, verbose=verbose)
+    wall = time.perf_counter() - t0
 
-    # ---- 2. Gelman-Rubin grouping -> long-patches mixture.  K_g=1 by
-    # default: tiling a mode with many small patches is a low-D device --
-    # at D>=20 a mixture of narrow sub-mode components has exponentially
-    # poor tail coverage and biases the evidence low (measured: K_g=4 at
-    # D=20 gave Z=0.35; K_g=1 gives Z=1.004 +- 0.011).  One long patch per
-    # chain group, VB decides the final K.
-    t0 = time.perf_counter()
-    long_patches = pt.mix_adapt.make_r_gaussmix(chains, K_g=K_g)
-    t_group = time.perf_counter() - t0
-    say("long-patches mixture: %d components (%.1f s)"
-        % (len(long_patches), t_group))
-
-    # ---- 3. variational Bayes on the thinned pooled samples
-    mc_samples = np.vstack(chains)[::thin]
-    t0 = time.perf_counter()
-    vb = pt.mix_adapt.GaussianInference(
-        mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10)
-    # at high D a component with fewer members than dimensions has a
-    # singular scatter matrix -> exploding precision (overflow in float32);
-    # the prune threshold must therefore never fall below D+1
-    vb_prune = max(0.5 * len(vb.data) / vb.K, dim + 1.0)
-    vb.run(300, rel_tol=1e-8, abs_tol=1e-5, prune=vb_prune)
-    vbmix = vb.make_mixture()
-    t_vb1 = time.perf_counter() - t0
-    say("VB1: %d samples -> K=%d (%.1f s)" % (len(mc_samples), len(vbmix), t_vb1))
-
-    # ---- 4. first IS run + weighted-VB proposal refinement.
-    # The first-run proposal's covariances are inflated: a random-walk
-    # chain at D=40 needs ~10^4+ steps to fully equilibrate, and a
-    # finite-length chain UNDERestimates the mode covariance (measured:
-    # 0.74x at 4k steps, 0.92x at 16k) -- a too-narrow proposal at high D
-    # has exponentially poor tail coverage and biases the evidence low.
-    # Inflation only costs a little first-run ESS; the weighted-VB
-    # refinement then recovers the true covariances from the properly
-    # REWEIGHTED IS samples, so the second run's proposal is unbiased.
-    mi, ci, wi = pt.density.recover_gaussian_mixture(vbmix)
-    vbmix_wide = pt.density.create_gaussian_mixture(mi, inflate * ci, wi)
-    sampler = pt.sampler.ImportanceSampler(log_target, vbmix_wide, rng=seed)
-    t0 = time.perf_counter()
-    sampler.run(n_is1)
-    t_is1 = time.perf_counter() - t0
-
-    prior = vb.posterior2prior()
-    prior.pop("alpha0")
-    t0 = time.perf_counter()
-    vb2 = pt.mix_adapt.GaussianInference(
-        sampler.samples[:], initial_guess=vbmix,
-        weights=sampler.weights[:][:, 0], **prior)
-    vb2.run(300, rel_tol=1e-8, abs_tol=1e-5)
-    vb2mix = vb2.make_mixture()
-    t_vb2 = time.perf_counter() - t0
-    say("IS1 %.1f s; weighted VB2 -> K=%d (%.1f s)"
-        % (t_is1, len(vb2mix), t_vb2))
-
-    # ---- 4b. Student-t M-PMC refinement.  A mixture of per-chain VB
-    # components has thinner tails than the mode it tiles -- at D=40 that
-    # costs orders of magnitude in ESS.  Rao-Blackwellized PMC adapts
-    # means, covariances, weights AND dofs against the target itself
-    # (importance-weighted EM, [Cap+08]/[HOD12]); components the target
-    # does not need die (weight -> 0).  On TPU each step is the one-kernel
-    # fused IS+PMC step.
-    import jax.numpy as jnp
-    from pypmc_tpu.mix_adapt.pmc import pmc_step_mixture_target
-
-    t0 = time.perf_counter()
-    m2, c2, w2 = pt.density.recover_gaussian_mixture(vb2mix)
-    pmc_mix = pt.density.create_t_mixture(
-        m2, c2 * (pmc_dof - 2.0) / pmc_dof, np.full(len(w2), pmc_dof), w2)
-    pparams = pmc_mix.stacked_params()
-    tparams_dev = target_mixture.stacked_params()
-    key = jax.random.PRNGKey(seed + 1)
-    perp_curve = []
-    for s in range(pmc_steps):
-        key, sub = jax.random.split(key)
-        result, _, w_s, _, sw = pmc_step_mixture_target(
-            pparams, tparams_dev, sub, n_is1)
-        pparams = result.params
-        sw = np.asarray(sw)
-        perp_curve.append(float(
-            np.exp(-(sw[2] / sw[0]) + np.log(sw[0])) / n_is1))
-    t_pmc = time.perf_counter() - t0
-    live = np.asarray(pparams.weights) > 0
-    say("PMC refinement: %d steps, K %d -> %d live, perplexity %.3f -> %.3f "
-        "(%.1f s)" % (pmc_steps, len(w2), int(live.sum()),
-                      perp_curve[0], perp_curve[-1], t_pmc))
-    final_mix = pt.density.create_t_mixture(
-        np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
-        np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
-
-    # ---- 5. second IS run with the refined proposal, combine, estimate
-    sampler.proposal = final_mix
-    t0 = time.perf_counter()
-    sampler.run(n_is2)
-    t_is2 = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    weights = pt.sampler.combine_weights(
-        [s[:] for s in sampler.samples],
-        [w[:][:, 0] for w in sampler.weights],
-        [vbmix_wide, final_mix],
-    )[:][:, 0]
-    t_comb = time.perf_counter() - t0
-
-    evidence = weights.sum() / len(weights)
-    evidence_err = np.sqrt(
-        (weights ** 2).sum() / len(weights) - evidence ** 2
-    ) / np.sqrt(len(weights) - 1)
     result = {
         "dim": dim,
-        "evidence": float(evidence),
-        "evidence_uncertainty": float(evidence_err),
-        "abs_error_pct": abs(float(evidence) - 1.0) * 100.0,
-        "perplexity": float(pt.tools.perp(weights)),
-        "ess": float(pt.tools.ess(weights)),
-        "n_total": int(len(weights)),
-        "K_final": len(final_mix),
-        "t_mcmc_s": t_mcmc, "t_group_s": t_group, "t_vb1_s": t_vb1,
-        "t_is1_s": t_is1, "t_vb2_s": t_vb2, "t_pmc_s": t_pmc,
-        "t_is2_s": t_is2,
-        "t_combine_s": t_comb,
-        "t_total_s": time.perf_counter() - t_all,
+        "evidence": r.evidence,
+        "evidence_uncertainty": r.uncertainty,
+        "abs_error_pct": abs(r.evidence - 1.0) * 100.0,
+        "perplexity": r.perplexity,
+        "ess": r.ess,
+        "n_total": r.n_samples,
+        "K_final": len(r.proposal),
+        "t_total_s": wall,
+        **{"t_%s" % k: v for k, v in r.details.items()
+           if isinstance(v, float)},
     }
-    say("IS2 %.1f s; combine %.1f s" % (t_is2, t_comb))
-    say("evidence = %.5f +- %.5f  (analytic 1; error %.3f%%)"
-        % (evidence, evidence_err, result["abs_error_pct"]))
-    say("perplexity %.3f  ESS %.3f  total %.1f s"
-        % (result["perplexity"], result["ess"], result["t_total_s"]))
+    if verbose:
+        print("evidence = %.5f +- %.5f  (analytic 1; error %.3f%%)"
+              % (r.evidence, r.uncertainty, result["abs_error_pct"]))
+        print("perplexity %.3f  ESS %.3f  total %.1f s"
+              % (r.perplexity, r.ess, wall))
     return result
 
 

@@ -13,6 +13,7 @@ from . import checkpoint
 from . import density
 from . import mix_adapt
 from . import parallel
+from . import pipeline
 from . import profiling
 from . import sampler
 from . import tools

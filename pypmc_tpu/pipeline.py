@@ -1,0 +1,244 @@
+"""One-call evidence estimation: the full adaptive-importance-sampling
+pipeline as a library function.
+
+The reference ships this workflow only as an example script
+(``examples/uniting_markov_chains_and_variational_bayes.py``); here it is a
+first-class API, with the high-dimension practice baked into the defaults
+(see ``docs/user_guide.md`` "High dimensions" and BENCHMARKS.md round-4:
+measured <=0.06% evidence error at D=40 in float32 on TPU):
+
+    adaptive-MCMC chain pool -> Gelman-Rubin grouping (one long patch per
+    group) -> variational Bayes -> inflated first IS run -> weighted-VB
+    refinement -> Student-t M-PMC refinement -> final IS run ->
+    deterministic-mixture combination.
+
+Every device-side stage runs the fused TPU kernels where available (the
+VMEM-resident MCMC pool for mixture targets at D <= 24, the fused VB
+E-step, the fused IS propose/evaluate step, the one-kernel Student-t PMC
+step for mixture targets).
+"""
+
+import time
+from typing import NamedTuple, Optional
+
+import numpy as _np
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["integrate", "IntegrateResult"]
+
+
+class IntegrateResult(NamedTuple):
+    """Result of :func:`integrate`."""
+
+    evidence: float                # integral estimate of exp(log_target)
+    uncertainty: float             # Monte-Carlo standard error
+    perplexity: float              # normalized perplexity of the weights
+    ess: float                     # normalized effective sample size
+    proposal: object               # final adapted MixtureDensity (Student-t)
+    n_samples: int                 # combined sample count
+    samples: object                # (N, D) combined IS samples
+    weights: object                # (N,) combined deterministic-mixture weights
+    details: dict                  # per-stage diagnostics and wall times
+
+
+def integrate(target, dim, starts, *, key=None, n_chains=None,
+              mcmc_steps=400, mcmc_cycles=12, thin=5, K_g=1,
+              critical_r=2.0, inflate=2.0, pmc_steps=10, pmc_dof=8.0,
+              n_is1=1 << 17, n_is2=1 << 19, vb_iterations=300,
+              rel_tol=1e-8, abs_tol=1e-5, verbose=False):
+    r"""Estimate :math:`Z = \int e^{\log P(x)}\,dx` for a multimodal target
+    with (almost) no analytical knowledge, via the full adaptive pipeline.
+
+    :param target: the log target density -- a jittable callable
+        ``x (D,) -> log P(x)``, or a
+        :class:`~pypmc_tpu.density.mixture.MixtureDensity` /
+        :class:`~pypmc_tpu.density.core.MixtureParams` (mixture targets run
+        the fully fused kernel paths).
+    :param dim: dimension D.
+    :param starts: ``(C, D)`` Markov-chain starting points covering the
+        region of interest (e.g. prior draws); the target must be finite at
+        every start.
+    :param key: jax PRNG key (default: seed 0).
+    :param n_chains: use only the first ``n_chains`` rows of ``starts``.
+    :param mcmc_steps, mcmc_cycles: adaptive-Metropolis schedule
+        ([HST01]); total chain length is their product, half is burn-in.
+    :param thin: thinning of the pooled MCMC samples fed to VB.
+    :param K_g: long patches per chain group.  Keep 1 for D >= 20
+        (narrow-component mode tiling biases the evidence low -- measured,
+        BENCHMARKS.md round-4).
+    :param critical_r: Gelman-Rubin grouping threshold.
+    :param inflate: first-run proposal covariance inflation (insurance
+        against under-equilibrated chains; the weighted refinements then
+        recover the true moments from reweighted samples).
+    :param pmc_steps, pmc_dof: Student-t M-PMC refinement schedule; 0
+        steps disables the stage.
+    :param n_is1, n_is2: particle counts of the two IS runs.
+    :param vb_iterations, rel_tol, abs_tol: VB convergence controls.
+    :returns: :class:`IntegrateResult`.
+    """
+    import jax
+    import numpy as np
+
+    from . import density as _density
+    from . import mix_adapt as _mix_adapt
+    from . import sampler as _sampler
+    from . import tools as _tools
+    from .density import core as _core
+    from .mix_adapt.pmc import pmc_step_mixture_target
+
+    say = logger.info if not verbose else (lambda *a: print(a[0] % tuple(a[1:])))
+    t_all = time.perf_counter()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    # normalize the target forms: mcmc_target feeds the chain pool
+    # (MixtureParams enables the fused VMEM pool), log_target feeds IS
+    target_params = None
+    if isinstance(target, _density.MixtureDensity):
+        target_params = target.stacked_params()
+        log_target = target.evaluate_fn(batched=True)
+    elif isinstance(target, _core.MixtureParams):
+        target_params = target
+        from .sampler._target import batched_target
+
+        @batched_target(transposed=True)
+        def log_target(xT, _tp=target_params):
+            return _core.mixture_logpdf_T(_tp, xT)
+    else:
+        log_target = target
+    mcmc_target = target_params if target_params is not None else log_target
+
+    starts = np.asarray(starts)
+    if n_chains is not None:
+        starts = starts[:n_chains]
+    if starts.ndim != 2 or starts.shape[1] != dim:
+        raise ValueError("starts must be (n_chains, %d), got %s"
+                         % (dim, starts.shape))
+    if target_params is not None:
+        starts = starts.astype(np.asarray(target_params.means).dtype)
+
+    details = {}
+
+    # ---- 1. adaptive-MCMC chain pool
+    t0 = time.perf_counter()
+    key, sub = jax.random.split(key)
+    pool, rates = _sampler.sample_adaptive_chains(
+        mcmc_target, starts, np.eye(dim) * 2.38 ** 2 / dim,
+        n_steps=mcmc_steps, n_adapt_cycles=mcmc_cycles, key=sub)
+    pool = np.asarray(pool)
+    burn = mcmc_steps * mcmc_cycles // 2
+    chains = [c[burn:] for c in pool]
+    details["mcmc_s"] = time.perf_counter() - t0
+    details["accept_rates"] = np.asarray(rates)[:, -1]
+    say("MCMC: %d chains x %d steps (%.1f s)",
+        len(starts), mcmc_steps * mcmc_cycles, details["mcmc_s"])
+
+    # ---- 2. Gelman-Rubin grouping -> long-patches mixture
+    long_patches = _mix_adapt.make_r_gaussmix(
+        chains, K_g=K_g, critical_r=critical_r)
+    details["patches_K"] = len(long_patches)
+
+    # ---- 3. variational Bayes on the thinned pooled samples
+    t0 = time.perf_counter()
+    mc_samples = np.vstack(chains)[::thin]
+    vb = _mix_adapt.GaussianInference(
+        mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10)
+    # never let a component fall below D+1 members: its scatter would be
+    # singular and the precision overflows float32 (measured at D=20)
+    vb.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol,
+           prune=max(0.5 * len(vb.data) / vb.K, dim + 1.0))
+    vbmix = vb.make_mixture()
+    details["vb1_s"] = time.perf_counter() - t0
+    details["vb1_K"] = len(vbmix)
+    say("VB1: %d samples -> K=%d (%.1f s)",
+        len(mc_samples), len(vbmix), details["vb1_s"])
+
+    # ---- 4. inflated first IS run + weighted-VB refinement
+    mi, ci, wi = _density.recover_gaussian_mixture(vbmix)
+    vbmix_wide = _density.create_gaussian_mixture(mi, inflate * ci, wi)
+    key, sub = jax.random.split(key)
+    sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
+    t0 = time.perf_counter()
+    sampler.run(n_is1)
+    prior = vb.posterior2prior()
+    prior.pop("alpha0")
+    vb2 = _mix_adapt.GaussianInference(
+        sampler.samples[:], initial_guess=vbmix,
+        weights=sampler.weights[:][:, 0], **prior)
+    vb2.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol)
+    vb2mix = vb2.make_mixture()
+    details["is1_vb2_s"] = time.perf_counter() - t0
+    details["vb2_K"] = len(vb2mix)
+
+    # ---- 5. Student-t M-PMC refinement (heavy tails + importance-weighted
+    # EM against the target itself; redundant components die)
+    t0 = time.perf_counter()
+    m2, c2, w2 = _density.recover_gaussian_mixture(vb2mix)
+    pmc_mix = _density.create_t_mixture(
+        m2, c2 * (pmc_dof - 2.0) / pmc_dof, np.full(len(w2), pmc_dof), w2)
+    if pmc_steps > 0 and target_params is not None:
+        pparams = pmc_mix.stacked_params()
+        perp_curve = []
+        for _ in range(pmc_steps):
+            key, sub = jax.random.split(key)
+            result, _, _, _, sw = pmc_step_mixture_target(
+                pparams, target_params, sub, n_is1)
+            pparams = result.params
+            sw = np.asarray(sw)
+            perp_curve.append(float(
+                np.exp(-(sw[2] / sw[0]) + np.log(sw[0])) / n_is1))
+        live = np.asarray(pparams.weights) > 0
+        final_mix = _density.create_t_mixture(
+            np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
+            np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
+        details["pmc_perplexity_curve"] = perp_curve
+    elif pmc_steps > 0:
+        # generic callable target: PMC from stored IS samples via the
+        # reference-protocol driver
+        key, sub = jax.random.split(key)
+        s2 = _sampler.ImportanceSampler(log_target, pmc_mix, rng=sub)
+        for _ in range(pmc_steps):
+            s2.run(n_is1)
+            pmc = _mix_adapt.PMC(s2.samples[-1], s2.proposal,
+                                 weights=s2.weights[-1][:, 0])
+            pmc.run(1)
+            s2.proposal = pmc.density
+        final_mix = s2.proposal
+    else:
+        final_mix = pmc_mix
+    details["pmc_s"] = time.perf_counter() - t0
+    details["final_K"] = len(final_mix)
+    say("PMC refinement: K=%d live (%.1f s)",
+        len(final_mix), details["pmc_s"])
+
+    # ---- 6. final IS run, deterministic-mixture combination, estimate
+    t0 = time.perf_counter()
+    sampler.proposal = final_mix
+    sampler.run(n_is2)
+    weights = _sampler.combine_weights(
+        [s[:] for s in sampler.samples],
+        [w[:][:, 0] for w in sampler.weights],
+        [vbmix_wide, final_mix],
+    )[:][:, 0]
+    details["is2_combine_s"] = time.perf_counter() - t0
+    samples = sampler.samples[:]
+
+    evidence = weights.sum() / len(weights)
+    uncertainty = _np.sqrt(
+        (weights ** 2).sum() / len(weights) - evidence ** 2
+    ) / _np.sqrt(len(weights) - 1)
+    details["total_s"] = time.perf_counter() - t_all
+    return IntegrateResult(
+        evidence=float(evidence),
+        uncertainty=float(uncertainty),
+        perplexity=float(_tools.perp(weights)),
+        ess=float(_tools.ess(weights)),
+        proposal=final_mix,
+        n_samples=int(len(weights)),
+        samples=samples,
+        weights=weights,
+        details=details,
+    )

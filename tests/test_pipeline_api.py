@@ -1,0 +1,57 @@
+"""The one-call evidence API (`pypmc_tpu.pipeline.integrate`)."""
+
+import numpy as np
+import pytest
+
+import pypmc_tpu as pt
+
+
+def bimodal(dim):
+    means = np.stack([np.zeros(dim), np.full(dim, 3.0)])
+    covs = np.array([np.eye(dim) * 0.7] * 2)
+    return pt.density.create_gaussian_mixture(means, covs, np.array([0.4, 0.6]))
+
+
+def make_starts(dim, n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.vstack([rng.normal(0, 1.5, (n // 2, dim)),
+                      rng.normal(3, 1.5, (n // 2, dim))])
+
+
+def test_integrate_mixture_target():
+    """Mixture-target (fully fused) path: recovers the analytic evidence
+    and returns a live Student-t proposal plus per-stage diagnostics."""
+    dim = 3
+    r = pt.pipeline.integrate(
+        bimodal(dim), dim, make_starts(dim), mcmc_steps=200, mcmc_cycles=6,
+        n_is1=1 << 14, n_is2=1 << 15, pmc_steps=5)
+    assert abs(r.evidence - 1.0) < 0.03, r
+    assert r.uncertainty < 0.03
+    assert r.ess > 0.2
+    assert r.n_samples == (1 << 14) + (1 << 15)
+    assert len(r.proposal) >= 1
+    assert r.samples.shape == (r.n_samples, dim)
+    assert "mcmc_s" in r.details and "final_K" in r.details
+    # the refinement curve is monotone-ish toward a usable proposal
+    curve = r.details["pmc_perplexity_curve"]
+    assert curve[-1] > curve[0] * 0.5
+
+
+def test_integrate_callable_target():
+    """Generic jittable log-density path (scan-pool MCMC + PMC driver)."""
+    dim = 2
+    fn = bimodal(dim).evaluate_fn()
+    r = pt.pipeline.integrate(
+        fn, dim, make_starts(dim), mcmc_steps=200, mcmc_cycles=5,
+        n_is1=1 << 13, n_is2=1 << 14, pmc_steps=2)
+    assert abs(r.evidence - 1.0) < 0.05, r
+
+
+def test_integrate_validates_starts():
+    dim = 3
+    with pytest.raises(ValueError, match="starts"):
+        pt.pipeline.integrate(bimodal(dim), dim, np.zeros((4, dim + 1)))
+    # non-finite target at a start fails loudly inside the chain pool
+    bad = np.full((4, dim), np.nan)
+    with pytest.raises(ValueError):
+        pt.pipeline.integrate(bimodal(dim), dim, bad)
