@@ -36,6 +36,9 @@ MODULES = [
         "pypmc_tpu.parallel.mesh",
         "pypmc_tpu.parallel.sampler",
     ]),
+    ("pipeline", [
+        "pypmc_tpu.pipeline",
+    ]),
     ("ops", [
         "pypmc_tpu.ops.linalg",
         "pypmc_tpu.ops.lse",
