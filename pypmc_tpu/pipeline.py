@@ -44,7 +44,7 @@ class IntegrateResult(NamedTuple):
     details: dict                  # per-stage diagnostics and wall times
 
 
-def integrate(target, dim, starts, *, key=None, n_chains=None,
+def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
               mcmc_steps=400, mcmc_cycles=12, thin=5, K_g=1,
               critical_r=2.0, inflate=2.0, pmc_steps=10, pmc_dof=8.0,
               n_is1=1 << 17, n_is2=1 << 19, vb_iterations=300,
@@ -62,6 +62,11 @@ def integrate(target, dim, starts, *, key=None, n_chains=None,
         region of interest (e.g. prior draws); the target must be finite at
         every start.
     :param key: jax PRNG key (default: seed 0).
+    :param mesh: optional 1-D ``jax.sharding.Mesh``; both IS runs shard
+        their particle axis over it (:class:`~pypmc_tpu.parallel.ParallelSampler`),
+        the VB E-steps run per-shard with psum'ed statistics, and the PMC
+        refinement is :func:`~pypmc_tpu.parallel.pmc_run_sharded` -- the
+        identical pipeline scales to a multi-host slice.
     :param n_chains: use only the first ``n_chains`` rows of ``starts``.
     :param mcmc_steps, mcmc_cycles: adaptive-Metropolis schedule
         ([HST01]); total chain length is their product, half is burn-in.
@@ -145,7 +150,8 @@ def integrate(target, dim, starts, *, key=None, n_chains=None,
     t0 = time.perf_counter()
     mc_samples = np.vstack(chains)[::thin]
     vb = _mix_adapt.GaussianInference(
-        mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10)
+        mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10,
+        mesh=mesh)
     # never let a component fall below D+1 members: its scatter would be
     # singular and the precision overflows float32 (measured at D=20)
     vb.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol,
@@ -160,14 +166,22 @@ def integrate(target, dim, starts, *, key=None, n_chains=None,
     mi, ci, wi = _density.recover_gaussian_mixture(vbmix)
     vbmix_wide = _density.create_gaussian_mixture(mi, inflate * ci, wi)
     key, sub = jax.random.split(key)
-    sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
+    if mesh is not None:
+        from . import parallel as _parallel
+
+        n_dev = mesh.devices.size
+        sampler = _parallel.ParallelSampler(
+            log_target, vbmix_wide, mesh=mesh, rng=sub)
+    else:
+        n_dev = 1
+        sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
     t0 = time.perf_counter()
-    sampler.run(n_is1)
+    sampler.run(-(-n_is1 // n_dev))
     prior = vb.posterior2prior()
     prior.pop("alpha0")
     vb2 = _mix_adapt.GaussianInference(
         sampler.samples[:], initial_guess=vbmix,
-        weights=sampler.weights[:][:, 0], **prior)
+        weights=sampler.weights[:][:, 0], mesh=mesh, **prior)
     vb2.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol)
     vb2mix = vb2.make_mixture()
     details["is1_vb2_s"] = time.perf_counter() - t0
@@ -179,7 +193,22 @@ def integrate(target, dim, starts, *, key=None, n_chains=None,
     m2, c2, w2 = _density.recover_gaussian_mixture(vb2mix)
     pmc_mix = _density.create_t_mixture(
         m2, c2 * (pmc_dof - 2.0) / pmc_dof, np.full(len(w2), pmc_dof), w2)
-    if pmc_steps > 0 and target_params is not None:
+    if pmc_steps > 0 and mesh is not None:
+        # sharded refinement: each step is one shard_map computation with
+        # psum'ed statistics (works for mixture AND callable targets)
+        from .parallel import pmc_run_sharded
+
+        key, sub = jax.random.split(key)
+        pparams, stats = pmc_run_sharded(
+            mcmc_target, pmc_mix.stacked_params(), n_is1, pmc_steps,
+            mesh=mesh, key=sub)
+        live = np.asarray(pparams.weights) > 0
+        final_mix = _density.create_t_mixture(
+            np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
+            np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
+        details["pmc_perplexity_curve"] = [
+            float(x) for x in np.asarray(stats.perplexity)]
+    elif pmc_steps > 0 and target_params is not None:
         pparams = pmc_mix.stacked_params()
         perp_curve = []
         for _ in range(pmc_steps):
@@ -217,7 +246,7 @@ def integrate(target, dim, starts, *, key=None, n_chains=None,
     # ---- 6. final IS run, deterministic-mixture combination, estimate
     t0 = time.perf_counter()
     sampler.proposal = final_mix
-    sampler.run(n_is2)
+    sampler.run(-(-n_is2 // n_dev))
     weights = _sampler.combine_weights(
         [s[:] for s in sampler.samples],
         [w[:][:, 0] for w in sampler.weights],

@@ -55,3 +55,20 @@ def test_integrate_validates_starts():
     bad = np.full((4, dim), np.nan)
     with pytest.raises(ValueError):
         pt.pipeline.integrate(bimodal(dim), dim, bad)
+
+
+def test_integrate_sharded_mesh():
+    """mesh= runs both IS stages sharded (ParallelSampler), VB with
+    psum'ed statistics, and the PMC refinement via pmc_run_sharded --
+    same estimate within MC error."""
+    from pypmc_tpu.parallel import particle_mesh
+
+    dim = 3
+    mesh = particle_mesh()
+    r = pt.pipeline.integrate(
+        bimodal(dim), dim, make_starts(dim), mesh=mesh,
+        mcmc_steps=200, mcmc_cycles=6,
+        n_is1=1 << 14, n_is2=1 << 15, pmc_steps=5)
+    assert abs(r.evidence - 1.0) < 0.03, r
+    assert r.ess > 0.2
+    assert "pmc_perplexity_curve" in r.details
