@@ -24,7 +24,7 @@ check-parallel:
 # run every example on the simulated 8-device CPU mesh
 run-examples:
 	for ex in pmc variational markov_chain mixture_reduction r_group pmc_sharded \
-	          uniting_markov_chains_and_variational_bayes; do \
+	          uniting_markov_chains_and_variational_bayes integrate_evidence; do \
 	    echo "=== $$ex ==="; \
 	    env $(CPU_ENV) $(PYTHON) examples/$$ex.py || exit 1; \
 	done
