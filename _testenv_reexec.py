@@ -83,7 +83,39 @@ if (os.environ.get("PYPMC_TPU_TEST_NPROC") == "2"
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "pytest"] + sys.argv[1:],
                 env=child_env, stdout=log, stderr=subprocess.STDOUT))
-    rcs = [p.wait() for p in procs]
+    # a child dying mid-collective leaves its sibling blocked inside a
+    # jax.distributed psum forever -- poll with a grace period instead of
+    # a blind wait, and kill the survivor so the run always terminates
+    # with diagnostics
+    import time as _time
+
+    deadline = _time.time() + float(
+        os.environ.get("PYPMC_TPU_TEST_NPROC_TIMEOUT", 3600))
+    first_exit = None
+    rcs = [None, None]
+    while any(rc is None for rc in rcs):
+        for pid, proc in enumerate(procs):
+            if rcs[pid] is None:
+                rcs[pid] = proc.poll()
+        now = _time.time()
+        done = [rc is not None for rc in rcs]
+        if all(done):
+            break
+        if first_exit is None and any(done):
+            first_exit = now
+        # one child exited (cleanly or not) >120 s ago, or global timeout:
+        # the survivor is almost certainly deadlocked in a collective
+        if (first_exit is not None and now - first_exit > 120) or now > deadline:
+            for pid, proc in enumerate(procs):
+                if rcs[pid] is None:
+                    sys.stderr.write(
+                        "---- killing process %d (sibling exited %s; likely "
+                        "blocked in a collective) ----\n"
+                        % (pid, "rc=%s" % rcs[1 - pid]))
+                    proc.kill()
+                    rcs[pid] = proc.wait()
+            break
+        _time.sleep(1)
     if any(rcs):
         for pid, log in enumerate(logs):
             if log is not None and rcs[pid]:

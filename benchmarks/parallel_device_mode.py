@@ -48,7 +48,7 @@ def main():
     for to_host in (False, True):
         ps = pt.parallel.ParallelSampler(log_target, proposal, mesh=mesh, rng=1)
         ps.run(n_per_dev, to_host=to_host)  # warm the compile cache
-        ps.clear(); ps._device_pending = []
+        ps.clear()
         times = []
         for r in range(args.reps):
             t0 = time.perf_counter()

@@ -386,7 +386,10 @@ class ParallelSampler(object):
         samples_T, weights, latent = run_is_step_sharded(
             params, self.target, self._next_key(), n_total, self.mesh
         )
-        self._device_pending.append((samples_T, weights))
+        # keep the RUN-TIME params with the pending run: target_values must
+        # be reconstructed with the proposal that drew the samples, even if
+        # self.proposal is adapted before the deferred gather
+        self._device_pending.append((samples_T, weights, params))
         if to_host:
             self.gather()
         if trace_sort:
@@ -397,7 +400,7 @@ class ParallelSampler(object):
     def device_runs(self):
         """Device-resident ``(samples_T, weights)`` tuples of the runs not
         yet flushed to the host Histories (``to_host=False`` runs)."""
-        return list(self._device_pending)
+        return [(s, w) for s, w, _ in self._device_pending]
 
     @staticmethod
     def _to_host(x):
@@ -416,13 +419,13 @@ class ParallelSampler(object):
         """Flush all device-resident runs into the host Histories (the
         deferred MPISampler-gather).  Returns the number of runs flushed."""
         flushed = 0
-        for samples_T, weights in self._device_pending:
+        for samples_T, weights, run_params in self._device_pending:
             n = samples_T.shape[1]
             self.samples.append(n)[:] = self._to_host(samples_T).T
             self.weights.append(n)[:, 0] = self._to_host(weights)
             if self.target_values is not None:
-                params = self.proposal.stacked_params()
-                log_q = self._to_host(_core.mixture_logpdf_T(params, samples_T))
+                log_q = self._to_host(
+                    _core.mixture_logpdf_T(run_params, samples_T))
                 self.target_values.append(n)[:, 0] = (
                     _np.log(self.weights[-1][:, 0]) + log_q
                 )
@@ -438,7 +441,7 @@ class ParallelSampler(object):
         sum_w = float(self.weights[:][:, 0].sum()) if len(self.weights) else 0.0
         sum_w2 = float((self.weights[:][:, 0] ** 2).sum()) if len(self.weights) else 0.0
         n = self.weights[:].shape[0] if len(self.weights) else 0
-        for _, w in self._device_pending:
+        for _, w, _ in self._device_pending:
             sum_w += float(jnp.sum(w))
             sum_w2 += float(jnp.sum(w * w))
             n += int(w.shape[0])
@@ -447,19 +450,22 @@ class ParallelSampler(object):
     @property
     def samples_list(self):
         """Per-device view of the last run's samples (MPISampler's
-        ``samples_list`` analog)."""
-        last = self.samples[-1]
-        return _np.array_split(last, self.n_devices)
+        ``samples_list`` analog).  Flushes any pending device-resident runs
+        first, so "last run" always means the chronologically last one."""
+        self.gather()
+        return _np.array_split(self.samples[-1], self.n_devices)
 
     @property
     def weights_list(self):
-        """Per-device view of the last run's weights."""
-        last = self.weights[-1]
-        return _np.array_split(last, self.n_devices)
+        """Per-device view of the last run's weights (flushes pending
+        device-resident runs first)."""
+        self.gather()
+        return _np.array_split(self.weights[-1], self.n_devices)
 
     def clear(self):
-        """Clear the Histories."""
+        """Clear the Histories AND drop any device-resident pending runs."""
         self.samples.clear()
         self.weights.clear()
         if self.target_values is not None:
             self.target_values.clear()
+        self._device_pending = []

@@ -351,9 +351,7 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         target = lambda x, _mt=mix_target: _core.mixture_logpdf(_mt, x[None, :])[0]
 
     if indicator is not None:
-        base_target = target
-        target = lambda x: jnp.where(
-            indicator(x), base_target(x), -jnp.inf)
+        target = _indmerge(target, indicator, -jnp.inf)
         # the fused kernel evaluates pure mixture targets in VMEM; an
         # arbitrary indicator predicate cannot run there
         mix_target = None
@@ -483,6 +481,7 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
 
     all_samples = []
     all_rates = []
+    nan_counts = []
     for cycle in range(n_adapt_cycles):
         key, sub = jax.random.split(key)
         if use_fused:
@@ -493,12 +492,10 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
             points, rates, nan_count, current, current_eval = all_chains_cycle(
                 sub, current, current_eval, chols, int(n_steps)
             )
-        if not continue_on_NaN and int(nan_count) > 0:
-            raise ValueError(
-                "target returned NaN for %d proposal(s) in adaptation cycle "
-                "%d (pass continue_on_NaN=True to reject such proposals)"
-                % (int(nan_count), cycle)
-            )
+        # defer the host materialization: an int() here would force a
+        # device sync EVERY cycle (one tunnel round-trip per cycle on the
+        # remote-TPU path); the policy check runs once after the loop
+        nan_counts.append(nan_count)
         all_samples.append(points)
         all_rates.append(rates)
         unscaled, scale_factors, new_chols, ok = jax.vmap(adapt_step)(
@@ -510,5 +507,14 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         fallback_chol = jnp.linalg.cholesky(old_scaled)
         chols = jnp.where(ok[:, None, None], new_chols, fallback_chol)
 
+    if not continue_on_NaN:
+        counts = _np.asarray(jnp.stack(nan_counts))  # ONE sync for the run
+        bad = _np.flatnonzero(counts > 0)
+        if bad.size:
+            raise ValueError(
+                "target returned NaN for %d proposal(s), first in adaptation "
+                "cycle %d (pass continue_on_NaN=True to reject such "
+                "proposals)" % (int(counts.sum()), int(bad[0]))
+            )
     samples = jnp.stack(all_samples, axis=1).reshape(C, n_adapt_cycles * n_steps, D)
     return samples, jnp.stack(all_rates, axis=1)
