@@ -176,12 +176,22 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         n_dev = 1
         sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
     t0 = time.perf_counter()
-    sampler.run(-(-n_is1 // n_dev))
+    # single-device path: keep the run ON DEVICE -- VB2 and the final
+    # combination consume the device arrays directly, so the pipeline
+    # never pays the O(N*D) host round-trip (measured 540x the sampling
+    # cost through a tunneled chip, BENCHMARKS.md round-4)
+    device_resident = mesh is None
+    sampler.run(-(-n_is1 // n_dev), to_host=not device_resident)
+    if device_resident and sampler.device_runs:
+        sT1, w1 = sampler.device_runs[0]
+        vb2_data, vb2_w = sT1.T, w1
+    else:
+        device_resident = False
+        vb2_data, vb2_w = sampler.samples[:], sampler.weights[:][:, 0]
     prior = vb.posterior2prior()
     prior.pop("alpha0")
     vb2 = _mix_adapt.GaussianInference(
-        sampler.samples[:], initial_guess=vbmix,
-        weights=sampler.weights[:][:, 0], mesh=mesh, **prior)
+        vb2_data, initial_guess=vbmix, weights=vb2_w, mesh=mesh, **prior)
     vb2.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol)
     vb2mix = vb2.make_mixture()
     details["is1_vb2_s"] = time.perf_counter() - t0
@@ -246,12 +256,19 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     # ---- 6. final IS run, deterministic-mixture combination, estimate
     t0 = time.perf_counter()
     sampler.proposal = final_mix
-    sampler.run(-(-n_is2 // n_dev))
-    weights = _sampler.combine_weights(
-        [s[:] for s in sampler.samples],
-        [w[:][:, 0] for w in sampler.weights],
-        [vbmix_wide, final_mix],
-    )[:][:, 0]
+    sampler.run(-(-n_is2 // n_dev), to_host=not device_resident)
+    if device_resident and len(sampler.device_runs) == 2:
+        (sT1, w1), (sT2, w2) = sampler.device_runs
+        weights = _sampler.combine_weights(
+            [sT1.T, sT2.T], [w1, w2], [vbmix_wide, final_mix])[:][:, 0]
+        sampler.gather()  # ONE deferred host transfer, for the result
+    else:
+        sampler.gather()
+        weights = _sampler.combine_weights(
+            [s[:] for s in sampler.samples],
+            [w[:][:, 0] for w in sampler.weights],
+            [vbmix_wide, final_mix],
+        )[:][:, 0]
     details["is2_combine_s"] = time.perf_counter() - t0
     samples = sampler.samples[:]
 

@@ -120,13 +120,40 @@ class ImportanceSampler(object):
             self._numpy_rng = rng
         self._key = key
         self._step = None  # compiled device step, built lazily
+        # device-resident runs not yet flushed to the host Histories:
+        # (samples_T (D, n), weights (n,), log_p (n,) or None)
+        self._device_pending = []
 
     def clear(self):
-        """Clear the history of samples, weights (and target values)."""
+        """Clear the history of samples, weights (and target values) AND
+        drop any device-resident pending runs."""
         self.samples.clear()
         self.weights.clear()
         if self.target_values is not None:
             self.target_values.clear()
+        self._device_pending = []
+
+    @property
+    def device_runs(self):
+        """Device-resident ``(samples_T, weights)`` tuples of the runs not
+        yet flushed to the host Histories (``to_host=False`` runs); pass
+        them straight to :func:`combine_weights` / the adaptation updates
+        to avoid the O(N*D) host round-trip entirely."""
+        return [(s, w) for s, w, _ in self._device_pending]
+
+    def gather(self):
+        """Flush all device-resident runs into the host Histories.
+        Returns the number of runs flushed."""
+        flushed = 0
+        for samples_T, weights, log_p in self._device_pending:
+            n = samples_T.shape[1]
+            self.samples.append(n)[:] = _np.asarray(samples_T).T
+            self.weights.append(n)[:, 0] = _np.asarray(weights)
+            if self.target_values is not None and log_p is not None:
+                self.target_values.append(n)[:, 0] = _np.asarray(log_p)
+            flushed += 1
+        self._device_pending = []
+        return flushed
 
     # ------------------------------------------------------------------ #
 
@@ -149,9 +176,15 @@ class ImportanceSampler(object):
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def run(self, N=1, trace_sort=False):
+    def run(self, N=1, trace_sort=False, to_host=True):
         """Run the sampler for ``N`` points; store samples into
         ``self.samples`` and importance weights into ``self.weights``.
+
+        With ``to_host=False`` (device path only) the run stays resident on
+        the device (:attr:`device_runs`) and the O(N*D) host transfer is
+        deferred to :meth:`gather` or the next ``to_host=True`` run --
+        feed the device arrays straight to :func:`combine_weights` or the
+        adaptation updates.
 
         If ``trace_sort``, return the index of the responsible proposal
         component for each sample (the samples are NOT component-sorted --
@@ -179,16 +212,20 @@ class ImportanceSampler(object):
         if not use_device:
             return self._run_host(N, trace_sort)
 
-        self.samples.append(N)[:] = _np.asarray(samples_T).T
-        self.weights.append(N)[:, 0] = _np.asarray(weights)
-        if self.target_values is not None:
-            self.target_values.append(N)[:, 0] = _np.asarray(log_p)
+        self._device_pending.append(
+            (samples_T, weights,
+             log_p if self.target_values is not None else None))
+        if to_host:
+            self.gather()
         if trace_sort:
-            return _np.asarray(latent)
+            return _np.asarray(latent) if to_host else latent
         return None
 
     def _run_host(self, N, trace_sort):
         """Host fallback: numpy rng and/or non-jittable target."""
+        # flush device-resident runs first so History order stays
+        # chronological
+        self.gather()
         rng = self._numpy_rng if self._numpy_rng is not None else RNG_DEFAULT
         if trace_sort:
             this_samples, origin = self.proposal.propose(N, rng, trace=True, shuffle=False)
@@ -212,8 +249,14 @@ def combine_weights(samples, weights, proposals):
     several importance-sampling runs with the same target but different
     proposals; return a :class:`~pypmc_tpu.tools.History` with one run per
     proposal.  (Reference: ``importance_sampling.py:238-371``.)"""
-    samples = [_np.asarray(s) for s in samples]
-    weights = [_np.asarray(w) for w in weights]
+    # host numpy stays host; jax arrays stay ON DEVICE (a
+    # device-resident run from ``run(to_host=False)`` combines with zero
+    # host round-trips -- pass ``sampler.device_runs`` entries as
+    # ``samples[t].T`` / ``weights[t]``)
+    samples = [s if isinstance(s, jax.Array) else _np.asarray(s)
+               for s in samples]
+    weights = [w if isinstance(w, jax.Array) else _np.asarray(w)
+               for w in weights]
 
     assert len(samples) == len(weights), (
         "%i sample runs vs %i weight runs -- counts must agree" % (len(samples), len(weights))
@@ -309,10 +352,14 @@ def _combine_weights_device(samples, weights, proposals, history, N, params,
     dtype = _np.asarray(params[0].means).dtype
     for t in range(len(proposals)):
         combined = history.append(N[t])
+        if isinstance(samples[t], jax.Array):
+            yT = samples[t].T.astype(dtype)   # already on device, no copy
+            w_t = jnp.asarray(weights[t], dtype=dtype)
+        else:
+            yT = jnp.asarray(_np.asarray(samples[t], dtype=dtype).T)
+            w_t = _np.asarray(weights[t], dtype=dtype)
         combined[:, 0] = _np.asarray(_combine_one_run_device(
-            jnp.asarray(_np.asarray(samples[t], dtype=dtype).T),
-            _np.asarray(weights[t], dtype=dtype),
-            jnp.asarray(t, jnp.int32), N, params, linear=linear))
+            yT, w_t, jnp.asarray(t, jnp.int32), N, params, linear=linear))
     return history
 
 

@@ -243,3 +243,43 @@ def test_combine_weights_zero_weights_stay_on_log_path():
     assert np.isfinite(combined).all()
     assert combined[3] == 0.0 and combined[17] == 0.0
     assert (combined[np.asarray(w1 > 0).nonzero()[0]] > 0).all()
+
+
+def test_device_resident_runs_and_zero_copy_combine():
+    """run(to_host=False) keeps runs on device; gather() defers the host
+    transfer; combine_weights consumes the device arrays directly and
+    produces the identical result as the host path."""
+    import numpy as np
+    import jax
+    from pypmc_tpu.density import create_gaussian_mixture
+    from pypmc_tpu.sampler import ImportanceSampler, combine_weights
+
+    target_mix = create_gaussian_mixture([np.zeros(2)], [np.eye(2)])
+    target = target_mix.evaluate_fn()
+    p1 = create_gaussian_mixture([np.zeros(2)], [np.eye(2) * 2.0])
+    p2 = create_gaussian_mixture([np.ones(2)], [np.eye(2) * 1.5])
+
+    s = ImportanceSampler(target, p1, rng=7)
+    s.run(200, to_host=False)
+    assert len(s.samples) == 0 and len(s.device_runs) == 1
+    sT1, w1 = s.device_runs[0]
+    assert isinstance(sT1, jax.Array) and sT1.shape == (2, 200)
+    s.proposal = p2
+    s.run(100, to_host=False)
+    (sT1, w1), (sT2, w2) = s.device_runs
+
+    # zero-copy combination straight from the device arrays
+    dev = combine_weights([sT1.T, sT2.T], [w1, w2], [p1, p2])[:][:, 0]
+
+    # flush to host; identical host-path combination
+    assert s.gather() == 2
+    assert s.samples[:].shape == (300, 2)
+    host = combine_weights([s.samples[0], s.samples[1]],
+                           [s.weights[0][:, 0], s.weights[1][:, 0]],
+                           [p1, p2])[:][:, 0]
+    np.testing.assert_allclose(dev, host, rtol=1e-6)
+
+    # clear drops pending runs too
+    s.run(50, to_host=False)
+    s.clear()
+    assert len(s.device_runs) == 0 and len(s.samples) == 0
