@@ -2106,8 +2106,14 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
     C = x0T.shape[1]
     kt = target[0].shape[0] // dim
     student_t_prop = dof_prop is not None
-    # largest step-chunk <= 8 dividing n_steps (out chunks must tile evenly)
-    sc = max(s for s in range(1, 9) if n_steps % s == 0)
+    # largest step-chunk <= 8 dividing n_steps (out chunks must tile
+    # evenly).  The kernel body unrolls sc Metropolis steps, each with a
+    # (D^2, CB) selector contraction -- cap the unrolled work at higher D
+    # so the Mosaic compile unit stays small (the flagship D<=11 keeps
+    # sc=8; compile time was the practical bottleneck at D=20 through this
+    # environment's remote compile service)
+    sc_cap = max(1, 1024 // (dim * dim))
+    sc = max(s for s in range(1, min(8, sc_cap) + 1) if n_steps % s == 0)
     cb = pick_chain_block(dim, kt, sc, student_t_prop)
     c_pad = (C + cb - 1) // cb * cb
     dtype = x0T.dtype

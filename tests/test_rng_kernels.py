@@ -354,3 +354,29 @@ def test_sample_adaptive_chains_indicator():
     with pytest.raises(ValueError, match="not finite"):
         sample_adaptive_chains(tparams, bad, np.eye(2, dtype=np.float32),
                                8, 1, indicator=ind)
+
+
+def test_pool_higher_dim_small_step_chunk():
+    """At D=16 the step-chunk cap (compile-unit bound) drops sc below 8;
+    the carried VMEM state must behave identically across the smaller
+    chunks."""
+    D, C, STEPS = 16, 130, 24
+    tparams, _ = core.make_mixture(
+        np.zeros((1, D), np.float32),
+        np.array([np.eye(D, dtype=np.float32)]),
+        np.array([1.0], np.float32))
+    t_ops = core._pallas_operands(tparams, "inv_chol")
+    rng = np.random.default_rng(0)
+    starts = rng.normal(0, 1, (C, D)).astype(np.float32)
+    x0T = jnp.asarray(starts.T)
+    e0 = core.mixture_logpdf_T(tparams, x0T)
+    chols = np.array([np.eye(D, dtype=np.float32) * (2.38 / np.sqrt(D))] * C)
+    cholr = jnp.asarray(chols.transpose(1, 2, 0).reshape(D * D, C))
+    points, acc, nan_c, xf, ef = map(np.asarray, pk.fused_mcmc_pool(
+        jnp.array([3, 5], jnp.int32), x0T, e0, cholr, None, t_ops,
+        n_steps=STEPS, dim=D))
+    assert points.shape == (STEPS, D, C)
+    assert np.array_equal(points[-1], xf)
+    ef_ref = np.asarray(core.mixture_logpdf_T(tparams, jnp.asarray(xf)))
+    assert np.abs(ef - ef_ref).max() < 1e-2
+    assert (acc > 0).all() and (nan_c == 0).all()
