@@ -15,6 +15,7 @@ understates the true speedup over the reference.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -152,9 +153,41 @@ def tpu_sps():
     return max(trial_sps), trial_sps
 
 
+def _watchdog_reexec():
+    """Run the measurement in a child process with a deadline and ONE
+    retry: this environment's remote XLA/Mosaic compile service
+    intermittently hangs a compile forever (observed repeatedly for large
+    kernels), and a blocked in-process compile cannot be timed out.  A
+    fresh process retry has empirically recovered every observed hang."""
+    import subprocess
+    import sys
+
+    if os.environ.get("PYPMC_TPU_BENCH_CHILD") == "1":
+        return False  # we are the child: run the real measurement
+    deadline = float(os.environ.get("PYPMC_TPU_BENCH_TIMEOUT", 1200))
+    env = dict(os.environ, PYPMC_TPU_BENCH_CHILD="1")
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=deadline, capture_output=True, text=True)
+            sys.stderr.write(proc.stderr)
+            sys.stdout.write(proc.stdout)
+            sys.exit(proc.returncode)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                "bench attempt %d exceeded %.0f s (hung remote compile?); "
+                "%s\n" % (attempt, deadline,
+                          "retrying in a fresh process" if attempt == 1
+                          else "giving up"))
+    sys.exit(2)
+
+
 def main():
     import sys
 
+    if _watchdog_reexec():
+        return
     cpu = numpy_baseline_sps()
     tpu, trials = tpu_sps()
     spread_pct = 100.0 * (max(trials) - min(trials)) / max(trials)
