@@ -45,6 +45,7 @@ class IntegrateResult(NamedTuple):
 
 
 def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
+              checkpoint_dir=None,
               mcmc_steps=400, mcmc_cycles=12, thin=5, K_g=1,
               critical_r=2.0, inflate=2.0, pmc_steps=10, pmc_dof=8.0,
               n_is1=1 << 17, n_is2=1 << 19, vb_iterations=300,
@@ -62,6 +63,12 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         region of interest (e.g. prior draws); the target must be finite at
         every start.
     :param key: jax PRNG key (default: seed 0).
+    :param checkpoint_dir: optional directory for stage checkpoints
+        (plain ``.npz``).  Each completed stage (MCMC prerun, first VB fit,
+        refined proposal) is saved; a re-run with the same directory
+        resumes from the furthest completed stage (a run resumed from the
+        refined proposal redoes only the final sampling stage and
+        estimates from it alone).
     :param mesh: optional 1-D ``jax.sharding.Mesh``; both IS runs shard
         their particle axis over it (:class:`~pypmc_tpu.parallel.ParallelSampler`),
         the VB E-steps run per-shard with psum'ed statistics, and the PMC
@@ -127,149 +134,220 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
 
     details = {}
 
-    # ---- 1. adaptive-MCMC chain pool
-    t0 = time.perf_counter()
-    key, sub = jax.random.split(key)
-    pool, rates = _sampler.sample_adaptive_chains(
-        mcmc_target, starts, np.eye(dim) * 2.38 ** 2 / dim,
-        n_steps=mcmc_steps, n_adapt_cycles=mcmc_cycles, key=sub)
-    pool = np.asarray(pool)
-    burn = mcmc_steps * mcmc_cycles // 2
-    chains = [c[burn:] for c in pool]
-    details["mcmc_s"] = time.perf_counter() - t0
-    details["accept_rates"] = np.asarray(rates)[:, -1]
-    say("MCMC: %d chains x %d steps (%.1f s)",
-        len(starts), mcmc_steps * mcmc_cycles, details["mcmc_s"])
+    # stage checkpoints (plain npz; see the checkpoint module)
+    import os as _os
 
-    # ---- 2. Gelman-Rubin grouping -> long-patches mixture
-    long_patches = _mix_adapt.make_r_gaussmix(
-        chains, K_g=K_g, critical_r=critical_r)
-    details["patches_K"] = len(long_patches)
+    from . import checkpoint as _checkpoint
 
-    # ---- 3. variational Bayes on the thinned pooled samples
-    t0 = time.perf_counter()
-    mc_samples = np.vstack(chains)[::thin]
-    vb = _mix_adapt.GaussianInference(
-        mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10,
-        mesh=mesh)
-    # never let a component fall below D+1 members: its scatter would be
-    # singular and the precision overflows float32 (measured at D=20)
-    vb.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol,
-           prune=max(0.5 * len(vb.data) / vb.K, dim + 1.0))
-    vbmix = vb.make_mixture()
-    details["vb1_s"] = time.perf_counter() - t0
-    details["vb1_K"] = len(vbmix)
-    say("VB1: %d samples -> K=%d (%.1f s)",
-        len(mc_samples), len(vbmix), details["vb1_s"])
+    def _ck(name):
+        return (_os.path.join(checkpoint_dir, name)
+                if checkpoint_dir is not None else None)
 
-    # ---- 4. inflated first IS run + weighted-VB refinement
-    mi, ci, wi = _density.recover_gaussian_mixture(vbmix)
-    vbmix_wide = _density.create_gaussian_mixture(mi, inflate * ci, wi)
-    key, sub = jax.random.split(key)
-    if mesh is not None:
-        from . import parallel as _parallel
+    def _have(name):
+        return checkpoint_dir is not None and _os.path.exists(_ck(name))
 
-        n_dev = mesh.devices.size
-        sampler = _parallel.ParallelSampler(
-            log_target, vbmix_wide, mesh=mesh, rng=sub)
-    else:
-        n_dev = 1
-        sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
-    t0 = time.perf_counter()
-    # single-device path: keep the run ON DEVICE -- VB2 and the final
-    # combination consume the device arrays directly, so the pipeline
-    # never pays the O(N*D) host round-trip (measured 540x the sampling
-    # cost through a tunneled chip, BENCHMARKS.md round-4)
-    device_resident = mesh is None
-    sampler.run(-(-n_is1 // n_dev), to_host=not device_resident)
-    if device_resident and sampler.device_runs:
-        sT1, w1 = sampler.device_runs[0]
-        vb2_data, vb2_w = sT1.T, w1
-    else:
-        device_resident = False
-        vb2_data, vb2_w = sampler.samples[:], sampler.weights[:][:, 0]
-    prior = vb.posterior2prior()
-    prior.pop("alpha0")
-    vb2 = _mix_adapt.GaussianInference(
-        vb2_data, initial_guess=vbmix, weights=vb2_w, mesh=mesh, **prior)
-    vb2.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol)
-    vb2mix = vb2.make_mixture()
-    details["is1_vb2_s"] = time.perf_counter() - t0
-    details["vb2_K"] = len(vb2mix)
+    if checkpoint_dir is not None:
+        _os.makedirs(checkpoint_dir, exist_ok=True)
+    resumed = []
 
-    # ---- 5. Student-t M-PMC refinement (heavy tails + importance-weighted
-    # EM against the target itself; redundant components die)
-    t0 = time.perf_counter()
-    m2, c2, w2 = _density.recover_gaussian_mixture(vb2mix)
-    pmc_mix = _density.create_t_mixture(
-        m2, c2 * (pmc_dof - 2.0) / pmc_dof, np.full(len(w2), pmc_dof), w2)
-    if pmc_steps > 0 and mesh is not None:
-        # sharded refinement: each step is one shard_map computation with
-        # psum'ed statistics (works for mixture AND callable targets)
-        from .parallel import pmc_run_sharded
+    vbmix = prior = None
+    final_mix = None
+    if _have("refined_mixture.npz"):
+        final_mix = _checkpoint.load_mixture(_ck("refined_mixture.npz"))
+        resumed = ["mcmc", "vb1", "refined"]
+        say("resuming from refined proposal (K=%d)", len(final_mix))
+    elif _have("vb1.npz"):
+        with np.load(_ck("vb1.npz"), allow_pickle=False) as data:
+            prior = {k[6:]: data[k] for k in data.files
+                     if k.startswith("prior_")}
+        vbmix = _checkpoint.load_mixture(_ck("vb1_mixture.npz"))
+        resumed = ["mcmc", "vb1"]
+        say("resuming from VB1 fit (K=%d)", len(vbmix))
 
+    if final_mix is None and vbmix is None:
+        # ---- 1. adaptive-MCMC chain pool
+        t0 = time.perf_counter()
         key, sub = jax.random.split(key)
-        pparams, stats = pmc_run_sharded(
-            mcmc_target, pmc_mix.stacked_params(), n_is1, pmc_steps,
-            mesh=mesh, key=sub)
-        live = np.asarray(pparams.weights) > 0
-        final_mix = _density.create_t_mixture(
-            np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
-            np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
-        details["pmc_perplexity_curve"] = [
-            float(x) for x in np.asarray(stats.perplexity)]
-    elif pmc_steps > 0 and target_params is not None:
-        pparams = pmc_mix.stacked_params()
-        perp_curve = []
-        for _ in range(pmc_steps):
+        if _have("mcmc.npz"):
+            with np.load(_ck("mcmc.npz")) as data:
+                pool, rates = data["pool"], data["rates"]
+            resumed = ["mcmc"]
+            say("resuming from MCMC prerun (%d chains)", len(pool))
+        else:
+            pool, rates = _sampler.sample_adaptive_chains(
+                mcmc_target, starts, np.eye(dim) * 2.38 ** 2 / dim,
+                n_steps=mcmc_steps, n_adapt_cycles=mcmc_cycles, key=sub)
+            pool = np.asarray(pool)
+            if checkpoint_dir is not None:
+                np.savez(_ck("mcmc.npz"), pool=pool,
+                         rates=np.asarray(rates))
+        burn = mcmc_steps * mcmc_cycles // 2
+        chains = [c[burn:] for c in pool]
+        details["mcmc_s"] = time.perf_counter() - t0
+        details["accept_rates"] = np.asarray(rates)[:, -1]
+        say("MCMC: %d chains x %d steps (%.1f s)",
+            len(starts), mcmc_steps * mcmc_cycles, details["mcmc_s"])
+
+        # ---- 2. Gelman-Rubin grouping -> long-patches mixture
+        long_patches = _mix_adapt.make_r_gaussmix(
+            chains, K_g=K_g, critical_r=critical_r)
+        details["patches_K"] = len(long_patches)
+
+        # ---- 3. variational Bayes on the thinned pooled samples
+        t0 = time.perf_counter()
+        mc_samples = np.vstack(chains)[::thin]
+        vb = _mix_adapt.GaussianInference(
+            mc_samples, initial_guess=long_patches, W0=np.eye(dim) * 1e10,
+            mesh=mesh)
+        # never let a component fall below D+1 members: its scatter would be
+        # singular and the precision overflows float32 (measured at D=20)
+        vb.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol,
+               prune=max(0.5 * len(vb.data) / vb.K, dim + 1.0))
+        vbmix = vb.make_mixture()
+        prior = vb.posterior2prior()
+        prior.pop("alpha0")
+        details["vb1_s"] = time.perf_counter() - t0
+        details["vb1_K"] = len(vbmix)
+        say("VB1: %d samples -> K=%d (%.1f s)",
+            len(mc_samples), len(vbmix), details["vb1_s"])
+        if checkpoint_dir is not None:
+            _checkpoint.save_mixture(_ck("vb1_mixture.npz"), vbmix)
+            np.savez(_ck("vb1.npz"),
+                     **{"prior_" + k: np.asarray(v)
+                        for k, v in prior.items()})
+
+    run1_proposal = None
+    if final_mix is None:
+        # ---- 4. inflated first IS run + weighted-VB refinement
+        mi, ci, wi = _density.recover_gaussian_mixture(vbmix)
+        vbmix_wide = _density.create_gaussian_mixture(mi, inflate * ci, wi)
+        key, sub = jax.random.split(key)
+        if mesh is not None:
+            from . import parallel as _parallel
+
+            n_dev = mesh.devices.size
+            sampler = _parallel.ParallelSampler(
+                log_target, vbmix_wide, mesh=mesh, rng=sub)
+        else:
+            n_dev = 1
+            sampler = _sampler.ImportanceSampler(log_target, vbmix_wide, rng=sub)
+        t0 = time.perf_counter()
+        # single-device path: keep the run ON DEVICE -- VB2 and the final
+        # combination consume the device arrays directly, so the pipeline
+        # never pays the O(N*D) host round-trip (measured 540x the sampling
+        # cost through a tunneled chip, BENCHMARKS.md round-4)
+        device_resident = mesh is None
+        sampler.run(-(-n_is1 // n_dev), to_host=not device_resident)
+        if device_resident and sampler.device_runs:
+            sT1, w1 = sampler.device_runs[0]
+            vb2_data, vb2_w = sT1.T, w1
+        else:
+            device_resident = False
+            vb2_data, vb2_w = sampler.samples[:], sampler.weights[:][:, 0]
+        vb2 = _mix_adapt.GaussianInference(
+            vb2_data, initial_guess=vbmix, weights=vb2_w, mesh=mesh, **prior)
+        vb2.run(vb_iterations, rel_tol=rel_tol, abs_tol=abs_tol)
+        vb2mix = vb2.make_mixture()
+        details["is1_vb2_s"] = time.perf_counter() - t0
+        details["vb2_K"] = len(vb2mix)
+
+        # ---- 5. Student-t M-PMC refinement (heavy tails + importance-weighted
+        # EM against the target itself; redundant components die)
+        t0 = time.perf_counter()
+        m2, c2, w2 = _density.recover_gaussian_mixture(vb2mix)
+        pmc_mix = _density.create_t_mixture(
+            m2, c2 * (pmc_dof - 2.0) / pmc_dof, np.full(len(w2), pmc_dof), w2)
+        if pmc_steps > 0 and mesh is not None:
+            # sharded refinement: each step is one shard_map computation with
+            # psum'ed statistics (works for mixture AND callable targets)
+            from .parallel import pmc_run_sharded
+
             key, sub = jax.random.split(key)
-            result, _, _, _, sw = pmc_step_mixture_target(
-                pparams, target_params, sub, n_is1)
-            pparams = result.params
-            sw = np.asarray(sw)
-            perp_curve.append(float(
-                np.exp(-(sw[2] / sw[0]) + np.log(sw[0])) / n_is1))
-        live = np.asarray(pparams.weights) > 0
-        final_mix = _density.create_t_mixture(
-            np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
-            np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
-        details["pmc_perplexity_curve"] = perp_curve
-    elif pmc_steps > 0:
-        # generic callable target: PMC from stored IS samples via the
-        # reference-protocol driver
-        key, sub = jax.random.split(key)
-        s2 = _sampler.ImportanceSampler(log_target, pmc_mix, rng=sub)
-        for _ in range(pmc_steps):
-            s2.run(n_is1)
-            pmc = _mix_adapt.PMC(s2.samples[-1], s2.proposal,
-                                 weights=s2.weights[-1][:, 0])
-            pmc.run(1)
-            s2.proposal = pmc.density
-        final_mix = s2.proposal
+            pparams, stats = pmc_run_sharded(
+                mcmc_target, pmc_mix.stacked_params(), n_is1, pmc_steps,
+                mesh=mesh, key=sub)
+            live = np.asarray(pparams.weights) > 0
+            final_mix = _density.create_t_mixture(
+                np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
+                np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
+            details["pmc_perplexity_curve"] = [
+                float(x) for x in np.asarray(stats.perplexity)]
+        elif pmc_steps > 0 and target_params is not None:
+            pparams = pmc_mix.stacked_params()
+            perp_curve = []
+            for _ in range(pmc_steps):
+                key, sub = jax.random.split(key)
+                result, _, _, _, sw = pmc_step_mixture_target(
+                    pparams, target_params, sub, n_is1)
+                pparams = result.params
+                sw = np.asarray(sw)
+                perp_curve.append(float(
+                    np.exp(-(sw[2] / sw[0]) + np.log(sw[0])) / n_is1))
+            live = np.asarray(pparams.weights) > 0
+            final_mix = _density.create_t_mixture(
+                np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
+                np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
+            details["pmc_perplexity_curve"] = perp_curve
+        elif pmc_steps > 0:
+            # generic callable target: PMC from stored IS samples via the
+            # reference-protocol driver
+            key, sub = jax.random.split(key)
+            s2 = _sampler.ImportanceSampler(log_target, pmc_mix, rng=sub)
+            for _ in range(pmc_steps):
+                s2.run(n_is1)
+                pmc = _mix_adapt.PMC(s2.samples[-1], s2.proposal,
+                                     weights=s2.weights[-1][:, 0])
+                pmc.run(1)
+                s2.proposal = pmc.density
+            final_mix = s2.proposal
+        else:
+            final_mix = pmc_mix
+        details["pmc_s"] = time.perf_counter() - t0
+        details["final_K"] = len(final_mix)
+        say("PMC refinement: K=%d live (%.1f s)",
+            len(final_mix), details["pmc_s"])
+        run1_proposal = vbmix_wide
+        if checkpoint_dir is not None:
+            _checkpoint.save_mixture(_ck("refined_mixture.npz"),
+                                     final_mix)
     else:
-        final_mix = pmc_mix
-    details["pmc_s"] = time.perf_counter() - t0
-    details["final_K"] = len(final_mix)
-    say("PMC refinement: K=%d live (%.1f s)",
-        len(final_mix), details["pmc_s"])
+        # resumed from the refined proposal: only the final
+        # sampling stage runs; the estimate uses that run alone
+        key, sub = jax.random.split(key)
+        if mesh is not None:
+            from . import parallel as _parallel
+
+            n_dev = mesh.devices.size
+            sampler = _parallel.ParallelSampler(
+                log_target, final_mix, mesh=mesh, rng=sub)
+        else:
+            n_dev = 1
+            sampler = _sampler.ImportanceSampler(
+                log_target, final_mix, rng=sub)
+        device_resident = mesh is None
+        details["final_K"] = len(final_mix)
 
     # ---- 6. final IS run, deterministic-mixture combination, estimate
     t0 = time.perf_counter()
     sampler.proposal = final_mix
     sampler.run(-(-n_is2 // n_dev), to_host=not device_resident)
-    if device_resident and len(sampler.device_runs) == 2:
-        (sT1, w1), (sT2, w2) = sampler.device_runs
+    proposals = ([run1_proposal, final_mix] if run1_proposal is not None
+                 else [final_mix])
+    if device_resident and len(sampler.device_runs) == len(proposals):
+        runs = sampler.device_runs
         weights = _sampler.combine_weights(
-            [sT1.T, sT2.T], [w1, w2], [vbmix_wide, final_mix])[:][:, 0]
+            [sT.T for sT, _ in runs], [w for _, w in runs],
+            proposals)[:][:, 0]
         sampler.gather()  # ONE deferred host transfer, for the result
     else:
         sampler.gather()
         weights = _sampler.combine_weights(
-            [s[:] for s in sampler.samples],
-            [w[:][:, 0] for w in sampler.weights],
-            [vbmix_wide, final_mix],
+            [sampler.samples[i] for i in range(len(proposals))],
+            [sampler.weights[i][:, 0] for i in range(len(proposals))],
+            proposals,
         )[:][:, 0]
     details["is2_combine_s"] = time.perf_counter() - t0
+    details["resumed_stages"] = resumed
     samples = sampler.samples[:]
 
     evidence = weights.sum() / len(weights)

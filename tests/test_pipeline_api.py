@@ -72,3 +72,29 @@ def test_integrate_sharded_mesh():
     assert abs(r.evidence - 1.0) < 0.03, r
     assert r.ess > 0.2
     assert "pmc_perplexity_curve" in r.details
+
+
+def test_integrate_checkpoint_resume(tmp_path):
+    """checkpoint_dir saves each completed stage; a re-run resumes from
+    the furthest one (refined proposal -> only the final sampling stage
+    runs), and a partial checkpoint resumes mid-pipeline."""
+    import os
+
+    dim = 3
+    ck = str(tmp_path / "ck")
+    kwargs = dict(mcmc_steps=200, mcmc_cycles=6, n_is1=1 << 14,
+                  n_is2=1 << 15, pmc_steps=5, checkpoint_dir=ck)
+    r1 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r1.details["resumed_stages"] == []
+    assert sorted(os.listdir(ck)) == [
+        "mcmc.npz", "refined_mixture.npz", "vb1.npz", "vb1_mixture.npz"]
+
+    r2 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r2.details["resumed_stages"] == ["mcmc", "vb1", "refined"]
+    assert abs(r2.evidence - 1.0) < 0.03
+    assert r2.n_samples == 1 << 15  # final run only
+
+    os.remove(os.path.join(ck, "refined_mixture.npz"))
+    r3 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r3.details["resumed_stages"] == ["mcmc", "vb1"]
+    assert abs(r3.evidence - 1.0) < 0.03
