@@ -48,6 +48,7 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
               checkpoint_dir=None,
               mcmc_steps=400, mcmc_cycles=12, thin=5, K_g=1,
               critical_r=2.0, inflate=2.0, pmc_steps=10, pmc_dof=8.0,
+              pmc_weight_clip=True,
               n_is1=1 << 17, n_is2=1 << 19, vb_iterations=300,
               rel_tol=1e-8, abs_tol=1e-5, verbose=False):
     r"""Estimate :math:`Z = \int e^{\log P(x)}\,dx` for a multimodal target
@@ -87,6 +88,12 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         recover the true moments from reweighted samples).
     :param pmc_steps, pmc_dof: Student-t M-PMC refinement schedule; 0
         steps disables the stage.
+    :param pmc_weight_clip: clip the importance weights at
+        ``mean(w) * sqrt(n)`` for the ADAPTATION only (truncated importance
+        sampling, Ionides 2008) -- stabilizes the refinement when the
+        initial proposal's tail mismatch makes single weights dominate
+        (heavy-tailed targets at high D); the evidence estimate itself
+        always uses unclipped weights.
     :param n_is1, n_is2: particle counts of the two IS runs.
     :param vb_iterations, rel_tol, abs_tol: VB convergence controls.
     :returns: :class:`IntegrateResult`.
@@ -267,20 +274,60 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
                 mcmc_target, pmc_mix.stacked_params(), n_is1, pmc_steps,
                 mesh=mesh, key=sub)
             live = np.asarray(pparams.weights) > 0
-            final_mix = _density.create_t_mixture(
-                np.asarray(pparams.means)[live], np.asarray(pparams.cov)[live],
-                np.asarray(pparams.dof)[live], np.asarray(pparams.weights)[live])
+            if live.any():
+                final_mix = _density.create_t_mixture(
+                    np.asarray(pparams.means)[live],
+                    np.asarray(pparams.cov)[live],
+                    np.asarray(pparams.dof)[live],
+                    np.asarray(pparams.weights)[live])
+            else:
+                # fully degenerate refinement (all components died --
+                # can happen when the IS weights are extremely skewed at
+                # high D): keep the un-refined heavy-tailed proposal
+                logger.warning(
+                    "PMC refinement killed every component; keeping the "
+                    "pre-refinement proposal")
+                final_mix = pmc_mix
             details["pmc_perplexity_curve"] = [
                 float(x) for x in np.asarray(stats.perplexity)]
         elif pmc_steps > 0 and target_params is not None:
+            import jax.numpy as jnp
+            from .mix_adapt.pmc import pmc_update
+
             pparams = pmc_mix.stacked_params()
             perp_curve = []
             for _ in range(pmc_steps):
                 key, sub = jax.random.split(key)
-                result, _, _, _, sw = pmc_step_mixture_target(
-                    pparams, target_params, sub, n_is1)
+                if pmc_weight_clip:
+                    # propose+eval stays one fused kernel; the update runs
+                    # on weights truncated at mean*sqrt(n) (Ionides 2008)
+                    # so a lone tail spike cannot starve the statistics
+                    out = _core.propose_logq_T(
+                        pparams, sub, n_is1, target_params)
+                    samples_T, _, log_q, log_p = out
+                    w = jnp.exp(log_p - log_q)
+                    w_adapt = jnp.minimum(
+                        w, jnp.mean(w) * jnp.sqrt(float(n_is1)))
+                    result = pmc_update(
+                        pparams, samples_T, w_adapt, transposed=True,
+                        dof_solver_steps=100)
+                    sw = np.asarray([float(jnp.sum(w)),
+                                     float(jnp.sum(w * w)),
+                                     float(jnp.sum(jnp.where(
+                                         w > 0, w * jnp.log(
+                                             jnp.maximum(w, 1e-38)), 0.0)))])
+                else:
+                    result, _, _, _, sw = pmc_step_mixture_target(
+                        pparams, target_params, sub, n_is1)
+                    sw = np.asarray(sw)
+                if not bool(np.asarray(result.params.weights > 0).any()):
+                    # a step that kills every component cannot be used;
+                    # keep the last live parameters and stop refining
+                    logger.warning(
+                        "PMC refinement step killed every component; "
+                        "stopping at the last live proposal")
+                    break
                 pparams = result.params
-                sw = np.asarray(sw)
                 perp_curve.append(float(
                     np.exp(-(sw[2] / sw[0]) + np.log(sw[0])) / n_is1))
             live = np.asarray(pparams.weights) > 0
