@@ -48,7 +48,7 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
               checkpoint_dir=None,
               mcmc_steps=400, mcmc_cycles=12, thin=5, K_g=1,
               critical_r=2.0, inflate=2.0, pmc_steps=10, pmc_dof=8.0,
-              pmc_weight_clip=True,
+              pmc_weight_clip=True, return_samples=True,
               n_is1=1 << 17, n_is2=1 << 19, vb_iterations=300,
               rel_tol=1e-8, abs_tol=1e-5, verbose=False):
     r"""Estimate :math:`Z = \int e^{\log P(x)}\,dx` for a multimodal target
@@ -96,6 +96,10 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         always uses unclipped weights.
     :param n_is1, n_is2: particle counts of the two IS runs.
     :param vb_iterations, rel_tol, abs_tol: VB convergence controls.
+    :param return_samples: with False, the combined IS samples are NOT
+        materialized on the host (``result.samples`` is None) -- an
+        evidence-only run then never pays the final O(N*D) device->host
+        transfer.
     :returns: :class:`IntegrateResult`.
     """
     import jax
@@ -385,7 +389,6 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         weights = _sampler.combine_weights(
             [sT.T for sT, _ in runs], [w for _, w in runs],
             proposals)[:][:, 0]
-        sampler.gather()  # ONE deferred host transfer, for the result
     else:
         sampler.gather()
         weights = _sampler.combine_weights(
@@ -395,7 +398,11 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         )[:][:, 0]
     details["is2_combine_s"] = time.perf_counter() - t0
     details["resumed_stages"] = resumed
-    samples = sampler.samples[:]
+    if return_samples:
+        sampler.gather()
+        samples = sampler.samples[:]
+    else:
+        samples = None
 
     evidence = weights.sum() / len(weights)
     uncertainty = _np.sqrt(

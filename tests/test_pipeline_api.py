@@ -98,3 +98,14 @@ def test_integrate_checkpoint_resume(tmp_path):
     r3 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
     assert r3.details["resumed_stages"] == ["mcmc", "vb1"]
     assert abs(r3.evidence - 1.0) < 0.03
+
+
+def test_integrate_return_samples_false():
+    """Evidence-only mode: no host materialization of the samples."""
+    dim = 2
+    r = pt.pipeline.integrate(
+        bimodal(dim), dim, make_starts(dim), mcmc_steps=200, mcmc_cycles=5,
+        n_is1=1 << 13, n_is2=1 << 14, pmc_steps=3, return_samples=False)
+    assert r.samples is None
+    assert abs(r.evidence - 1.0) < 0.05
+    assert r.n_samples == (1 << 13) + (1 << 14)
