@@ -1,8 +1,12 @@
 """Propose+eval throughput across problem dimensions (perf surface).
 
 The headline bench pins D=10; this sweeps D for the same fused Student-t
-IS step (K=10 proposal, 2-component Gaussian target) at a fixed total
-element budget N*D (so HBM traffic per step is comparable).
+IS step (K=10 proposal, 2-component Gaussian target).  The particle count
+is N = min(2^26, budget/D) with budget = 10 * 2^26 elements: rows with
+D >= 10 share the same N*D traffic; rows below D=10 are capped at the
+N=2^26 batch (smaller N*D -- their per-element figures are still in the
+dispatch-amortized regime at ~130+ ms/step, but compare the <=D=5 rows to
+each other, not to the fixed-budget ones).
 
     python benchmarks/throughput_vs_dim.py [--dims 2 5 10 20 40]
 """

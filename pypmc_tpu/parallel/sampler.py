@@ -162,7 +162,8 @@ class PMCStepStats(NamedTuple):
 def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                     rb=True, dof_solver_steps=100, mindof=1e-5, maxdof=1e3,
                     axis_name=PARTICLE_AXIS, return_final_samples=False,
-                    scan_steps=False, compute_log_likelihood=True):
+                    scan_steps=False, compute_log_likelihood=True,
+                    weight_clip=False):
     """Run ``n_steps`` of (M-)PMC with ``n_total`` fresh particles per step,
     fully sharded over the device mesh.
 
@@ -181,6 +182,11 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         sampler similarly takes a per-rank count, ``tools/parallel_sampler.py:35``).
     :param n_steps: number of PMC adaptation steps.
 
+    :param weight_clip: clip the weights at ``global mean * sqrt(n)``
+        for the ADAPTATION only (truncated importance sampling, Ionides
+        2008; diagnostics and evidence stay unclipped) -- stabilizes
+        updates when single weights dominate.  Disables the one-kernel
+        fused step (clipping needs the global weight mean first).
     :param scan_steps: if True, run ALL steps inside one compiled
         ``lax.scan`` (amortizes per-step dispatch latency; no per-step host
         visibility).  ``return_final_samples`` is not available in this mode.
@@ -223,7 +229,8 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         tp = jax.device_put(tp, jax.sharding.NamedSharding(mesh, P()))
     cache_key = ("pmc_step", token, mesh, n_local, rb, dof_solver_steps,
                  mindof, maxdof, axis_name, is_t, bool(scan_steps),
-                 n_steps if scan_steps else None, bool(compute_log_likelihood))
+                 n_steps if scan_steps else None, bool(compute_log_likelihood),
+                 bool(weight_clip))
 
     # a MIXTURE target (MixtureParams) runs the ENTIRE per-shard step --
     # propose, both evaluations, weights, responsibilities, statistics --
@@ -236,12 +243,37 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         from ..mix_adapt.pmc import pmc_step_mixture_target
 
         my_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        if mixture_target and rb:
+        if mixture_target and rb and not weight_clip:
             result, samples_T, weights, latent, sw = pmc_step_mixture_target(
                 params, target_of(tp), my_key, n_local,
                 dof_solver_steps=dof_solver_steps if is_t else 0,
                 mindof=mindof, maxdof=maxdof, axis_name=axis_name)
             sum_w, sum_w2, sum_wlogw = sw[0], sw[1], sw[2]
+        elif weight_clip:
+            # truncated-importance-sampling adaptation (Ionides 2008):
+            # the UPDATE consumes weights clipped at the global
+            # mean * sqrt(n_global); the diagnostics stay unclipped
+            samples_T, weights, latent = _is_body(params, my_key, n_local,
+                                                  target_of(tp))
+            n_global = float(n_local) * mesh.devices.size
+            mean_w = jax.lax.psum(jnp.sum(weights), axis_name) / n_global
+            w_adapt = jnp.minimum(weights,
+                                  mean_w * jnp.sqrt(jnp.asarray(
+                                      n_global, weights.dtype)))
+            result = pmc_update(
+                params, samples_T, w_adapt,
+                rb=rb,
+                dof_solver_steps=dof_solver_steps if is_t else 0,
+                mindof=mindof, maxdof=maxdof,
+                axis_name=axis_name,
+                transposed=True,
+            )
+            sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
+            sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
+            wlogw = jnp.where(weights > 0,
+                              weights * jnp.log(jnp.where(weights > 0, weights, 1.0)),
+                              0.0)
+            sum_wlogw = jax.lax.psum(jnp.sum(wlogw), axis_name)
         else:
             samples_T, weights, latent = _is_body(params, my_key, n_local,
                                                   target_of(tp))

@@ -157,6 +157,32 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     def _have(name):
         return checkpoint_dir is not None and _os.path.exists(_ck(name))
 
+    # a crash mid-save must not leave a truncated npz that breaks every
+    # later resume: write to a temp name, fsync, then atomically replace
+    def _atomic_savez(path, **arrays):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(tmp, path)
+
+    # resuming under different kwargs would apply the CURRENT schedule to
+    # stale state (e.g. a changed mcmc_steps slices the loaded pool into
+    # an empty burn-in) -- fingerprint the config and reject mismatches
+    config_fp = np.array([dim, len(starts), mcmc_steps, mcmc_cycles,
+                          thin, K_g], dtype=np.int64)
+
+    def _check_fp(data, path):
+        fp = data.get("config_fp")
+        if fp is None or not np.array_equal(fp, config_fp):
+            raise ValueError(
+                "checkpoint %s was written under a different pipeline "
+                "configuration (saved %s, current %s); delete the "
+                "checkpoint directory or rerun with the original settings"
+                % (path, None if fp is None else fp.tolist(),
+                   config_fp.tolist()))
+
     if checkpoint_dir is not None:
         _os.makedirs(checkpoint_dir, exist_ok=True)
     resumed = []
@@ -165,10 +191,15 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     final_mix = None
     if _have("refined_mixture.npz"):
         final_mix = _checkpoint.load_mixture(_ck("refined_mixture.npz"))
+        if final_mix.dim != dim:
+            raise ValueError(
+                "refined checkpoint has dimension %d, expected %d"
+                % (final_mix.dim, dim))
         resumed = ["mcmc", "vb1", "refined"]
         say("resuming from refined proposal (K=%d)", len(final_mix))
     elif _have("vb1.npz"):
         with np.load(_ck("vb1.npz"), allow_pickle=False) as data:
+            _check_fp(data, _ck("vb1.npz"))
             prior = {k[6:]: data[k] for k in data.files
                      if k.startswith("prior_")}
         vbmix = _checkpoint.load_mixture(_ck("vb1_mixture.npz"))
@@ -181,6 +212,7 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         key, sub = jax.random.split(key)
         if _have("mcmc.npz"):
             with np.load(_ck("mcmc.npz")) as data:
+                _check_fp(data, _ck("mcmc.npz"))
                 pool, rates = data["pool"], data["rates"]
             resumed = ["mcmc"]
             say("resuming from MCMC prerun (%d chains)", len(pool))
@@ -190,8 +222,9 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
                 n_steps=mcmc_steps, n_adapt_cycles=mcmc_cycles, key=sub)
             pool = np.asarray(pool)
             if checkpoint_dir is not None:
-                np.savez(_ck("mcmc.npz"), pool=pool,
-                         rates=np.asarray(rates))
+                _atomic_savez(_ck("mcmc.npz"), pool=pool,
+                              rates=np.asarray(rates),
+                              config_fp=config_fp)
         burn = mcmc_steps * mcmc_cycles // 2
         chains = [c[burn:] for c in pool]
         details["mcmc_s"] = time.perf_counter() - t0
@@ -223,9 +256,9 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
             len(mc_samples), len(vbmix), details["vb1_s"])
         if checkpoint_dir is not None:
             _checkpoint.save_mixture(_ck("vb1_mixture.npz"), vbmix)
-            np.savez(_ck("vb1.npz"),
-                     **{"prior_" + k: np.asarray(v)
-                        for k, v in prior.items()})
+            _atomic_savez(_ck("vb1.npz"), config_fp=config_fp,
+                          **{"prior_" + k: np.asarray(v)
+                             for k, v in prior.items()})
 
     run1_proposal = None
     if final_mix is None:
@@ -250,7 +283,17 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         device_resident = mesh is None
         sampler.run(-(-n_is1 // n_dev), to_host=not device_resident)
         if device_resident and sampler.device_runs:
+            import jax.numpy as jnp
+
             sT1, w1 = sampler.device_runs[0]
+            # the host path's GaussianInference validation would catch
+            # this; keep the same loud failure for device arrays (a f32
+            # overflow w = exp(log p - log q) = inf would otherwise
+            # NaN-poison VB2)
+            if not bool(jnp.isfinite(jnp.sum(w1))):
+                raise ValueError(
+                    "importance weights contain inf/nan (float32 overflow "
+                    "in exp(log p - log q)?)")
             vb2_data, vb2_w = sT1.T, w1
         else:
             device_resident = False
@@ -276,7 +319,7 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
             key, sub = jax.random.split(key)
             pparams, stats = pmc_run_sharded(
                 mcmc_target, pmc_mix.stacked_params(), n_is1, pmc_steps,
-                mesh=mesh, key=sub)
+                mesh=mesh, key=sub, weight_clip=pmc_weight_clip)
             live = np.asarray(pparams.weights) > 0
             if live.any():
                 final_mix = _density.create_t_mixture(
@@ -315,11 +358,12 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
                     result = pmc_update(
                         pparams, samples_T, w_adapt, transposed=True,
                         dof_solver_steps=100)
-                    sw = np.asarray([float(jnp.sum(w)),
-                                     float(jnp.sum(w * w)),
-                                     float(jnp.sum(jnp.where(
-                                         w > 0, w * jnp.log(
-                                             jnp.maximum(w, 1e-38)), 0.0)))])
+                    sw = np.asarray(jnp.stack([
+                        jnp.sum(w), jnp.sum(w * w),
+                        jnp.sum(jnp.where(
+                            w > 0,
+                            w * jnp.log(jnp.maximum(w, 1e-38)), 0.0)),
+                    ]))  # ONE host materialization per step
                 else:
                     result, _, _, _, sw = pmc_step_mixture_target(
                         pparams, target_params, sub, n_is1)
@@ -341,13 +385,18 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
             details["pmc_perplexity_curve"] = perp_curve
         elif pmc_steps > 0:
             # generic callable target: PMC from stored IS samples via the
-            # reference-protocol driver
+            # reference-protocol driver (same Ionides-2008 clipping for
+            # the adaptation when requested)
             key, sub = jax.random.split(key)
             s2 = _sampler.ImportanceSampler(log_target, pmc_mix, rng=sub)
             for _ in range(pmc_steps):
                 s2.run(n_is1)
+                w_run = s2.weights[-1][:, 0]
+                if pmc_weight_clip:
+                    w_run = np.minimum(
+                        w_run, w_run.mean() * np.sqrt(float(len(w_run))))
                 pmc = _mix_adapt.PMC(s2.samples[-1], s2.proposal,
-                                     weights=s2.weights[-1][:, 0])
+                                     weights=w_run)
                 pmc.run(1)
                 s2.proposal = pmc.density
             final_mix = s2.proposal

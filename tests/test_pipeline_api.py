@@ -109,3 +109,48 @@ def test_integrate_return_samples_false():
     assert r.samples is None
     assert abs(r.evidence - 1.0) < 0.05
     assert r.n_samples == (1 << 13) + (1 << 14)
+
+
+def test_integrate_checkpoint_config_mismatch(tmp_path):
+    """A checkpoint written under different pipeline kwargs must be
+    rejected loudly, not silently combined with the current schedule."""
+    dim = 3
+    ck = str(tmp_path / "ck")
+    pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim),
+                          mcmc_steps=200, mcmc_cycles=5, n_is1=1 << 13,
+                          n_is2=1 << 14, pmc_steps=2, checkpoint_dir=ck)
+    import os
+    os.remove(os.path.join(ck, "refined_mixture.npz"))
+    os.remove(os.path.join(ck, "vb1.npz"))
+    os.remove(os.path.join(ck, "vb1_mixture.npz"))
+    with pytest.raises(ValueError, match="different pipeline configuration"):
+        pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim),
+                              mcmc_steps=400, mcmc_cycles=5, n_is1=1 << 13,
+                              n_is2=1 << 14, pmc_steps=2, checkpoint_dir=ck)
+
+
+def test_pmc_run_sharded_weight_clip():
+    """weight_clip=True adapts on truncated weights (Ionides 2008) under
+    the sharded runner; the adapted mixture stays live and close to the
+    unclipped run on a benign target."""
+    import jax
+    from pypmc_tpu.density import core
+    from pypmc_tpu.parallel import particle_mesh, pmc_run_sharded
+
+    rng = np.random.default_rng(0)
+    D, K = 2, 3
+    means = rng.normal(0, 2, (K, D))
+    covs = np.array([np.eye(D) * 1.5] * K)
+    params, _ = core.make_mixture(means, covs, None, np.full(K, 8.0))
+    tm, tc = np.zeros((1, D)), np.array([np.eye(D)])
+    tparams, _ = core.make_mixture(tm, tc, np.array([1.0]))
+    mesh = particle_mesh()
+    p1, s1 = pmc_run_sharded(tparams, params, 1 << 13, 3, mesh=mesh,
+                             key=jax.random.PRNGKey(0), weight_clip=True)
+    p0, s0 = pmc_run_sharded(tparams, params, 1 << 13, 3, mesh=mesh,
+                             key=jax.random.PRNGKey(0), weight_clip=False)
+    assert (np.asarray(p1.weights) > 0).any()
+    # benign target: clipping barely bites, results agree loosely
+    np.testing.assert_allclose(np.asarray(p1.means), np.asarray(p0.means),
+                               atol=0.3)
+    assert np.asarray(s1.ess)[-1] > 0.3
