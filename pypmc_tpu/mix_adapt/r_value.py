@@ -56,7 +56,17 @@ def r_value(means, variances, n, approx=False):
 def r_group(means, variances, n, critical_r=2.0, approx=False):
     """Group chains whose common :func:`r_value` is less than ``critical_r``
     in every dimension; greedy assignment in input order.
-    (Reference: ``r_value.py:99-139``.)"""
+    (Reference: ``r_value.py:99-139``.)
+
+    .. note::
+        The per-dimension R criterion loses discriminating power at high
+        D: two modes separated by distance ``s`` along a random direction
+        project to only ``~s/sqrt(D)`` per coordinate, so at D >= ~20
+        cross-mode chain pairs can pass ``critical_r`` while within-mode
+        pairs fail it on sampling noise.  For high-dimensional use,
+        grouping granularity matters less than component COUNT -- feed
+        ``make_r_gaussmix(K_g=1)`` and let VB/PMC decide K (measured
+        consequences in BENCHMARKS.md round-4)."""
     means = _np.asarray(means)
     variances = _np.asarray(variances)
     if means.ndim != 2 or variances.ndim != 2:
