@@ -164,22 +164,39 @@ def _watchdog_reexec():
 
     if os.environ.get("PYPMC_TPU_BENCH_CHILD") == "1":
         return False  # we are the child: run the real measurement
+    import tempfile
+
     deadline = float(os.environ.get("PYPMC_TPU_BENCH_TIMEOUT", 1200))
     env = dict(os.environ, PYPMC_TPU_BENCH_CHILD="1")
     for attempt in (1, 2):
-        try:
-            proc = subprocess.run(
+        # child output goes to temp FILES, not pipes: the partial output of
+        # a hung child stays readable for diagnostics, and killing the
+        # child cannot leave the parent blocked on pipe EOF held open by a
+        # grandchild
+        with tempfile.TemporaryFile(mode="w+") as out, \
+                tempfile.TemporaryFile(mode="w+") as err:
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=deadline, capture_output=True, text=True)
-            sys.stderr.write(proc.stderr)
-            sys.stdout.write(proc.stdout)
-            sys.exit(proc.returncode)
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(
-                "bench attempt %d exceeded %.0f s (hung remote compile?); "
-                "%s\n" % (attempt, deadline,
-                          "retrying in a fresh process" if attempt == 1
-                          else "giving up"))
+                env=env, stdout=out, stderr=err, text=True)
+            try:
+                rc = proc.wait(timeout=deadline)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                rc = None
+            out.seek(0)
+            err.seek(0)
+            sys.stderr.write(err.read())
+            child_stdout = out.read()
+        if rc is not None:
+            sys.stdout.write(child_stdout)
+            sys.exit(rc)
+        sys.stderr.write(
+            "bench attempt %d exceeded %.0f s (hung remote compile?); "
+            "child output so far:\n%s\n%s\n"
+            % (attempt, deadline, child_stdout[-2000:],
+               "retrying in a fresh process" if attempt == 1
+               else "giving up"))
     sys.exit(2)
 
 

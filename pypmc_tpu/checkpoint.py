@@ -15,6 +15,7 @@ that survive process restarts, host moves and CPU<->TPU transitions.
 import numpy as _np
 
 __all__ = [
+    "atomic_savez",
     "save_mixture",
     "load_mixture",
     "load_mixture_params",
@@ -25,9 +26,29 @@ __all__ = [
 ]
 
 
-def save_mixture(path, mixture):
+def atomic_savez(path, **arrays):
+    """Crash-safe ``np.savez``: write to a temp name, fsync, then
+    atomically replace ``path``.  A process killed mid-save can therefore
+    never leave a truncated archive behind -- a half-written checkpoint
+    that exists but cannot be loaded would permanently break every
+    subsequent resume."""
+    import os as _os
+
+    path = str(path)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        _np.savez(fh, **arrays)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, path)
+
+
+def save_mixture(path, mixture, extra=None):
     """Save a :class:`~pypmc_tpu.density.mixture.MixtureDensity` or stacked
-    :class:`~pypmc_tpu.density.core.MixtureParams` to ``path`` (.npz)."""
+    :class:`~pypmc_tpu.density.core.MixtureParams` to ``path`` (.npz,
+    written atomically).  ``extra`` is an optional dict of additional
+    arrays stored alongside (e.g. a config fingerprint); loaders ignore
+    unknown fields."""
     from .density.core import MixtureParams
 
     if not isinstance(mixture, MixtureParams):
@@ -39,7 +60,9 @@ def save_mixture(path, mixture):
     )
     if mixture.dof is not None:
         arrays["dof"] = _np.asarray(mixture.dof)
-    _np.savez(path, **arrays)
+    if extra:
+        arrays.update({k: _np.asarray(v) for k, v in extra.items()})
+    atomic_savez(path, **arrays)
 
 
 def load_mixture_params(path):
@@ -68,7 +91,7 @@ def save_vb(path, vb):
     :class:`~pypmc_tpu.mix_adapt.variational.GaussianInference`."""
     state = vb.prior_posterior()
     state = {k: _np.asarray(v) for k, v in state.items()}
-    _np.savez(path, **state)
+    atomic_savez(path, **state)
 
 
 def load_vb(path, data, weights=None, **kwargs):
@@ -96,7 +119,7 @@ def save_chain_state(path, mc):
     :class:`~pypmc_tpu.sampler.markov_chain.AdaptiveMarkovChain` (the sample
     History is intentionally excluded -- use :class:`~pypmc_tpu.tools.History`
     slicing + ``numpy.save`` for samples)."""
-    _np.savez(
+    atomic_savez(
         path,
         current_point=_np.asarray(mc.current_point),
         current_target_eval=_np.asarray(mc.current_target_eval),

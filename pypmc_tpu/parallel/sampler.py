@@ -249,17 +249,20 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                 dof_solver_steps=dof_solver_steps if is_t else 0,
                 mindof=mindof, maxdof=maxdof, axis_name=axis_name)
             sum_w, sum_w2, sum_wlogw = sw[0], sw[1], sw[2]
-        elif weight_clip:
-            # truncated-importance-sampling adaptation (Ionides 2008):
-            # the UPDATE consumes weights clipped at the global
-            # mean * sqrt(n_global); the diagnostics stay unclipped
+        else:
             samples_T, weights, latent = _is_body(params, my_key, n_local,
                                                   target_of(tp))
-            n_global = float(n_local) * mesh.devices.size
-            mean_w = jax.lax.psum(jnp.sum(weights), axis_name) / n_global
-            w_adapt = jnp.minimum(weights,
-                                  mean_w * jnp.sqrt(jnp.asarray(
-                                      n_global, weights.dtype)))
+            sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
+            w_adapt = weights
+            if weight_clip:
+                # truncated-importance-sampling adaptation (Ionides 2008):
+                # the UPDATE consumes weights clipped at the global
+                # mean * sqrt(n_global); diagnostics/evidence stay unclipped
+                n_global = float(n_local) * mesh.devices.size
+                w_adapt = jnp.minimum(
+                    weights,
+                    (sum_w / n_global) * jnp.sqrt(jnp.asarray(
+                        n_global, weights.dtype)))
             result = pmc_update(
                 params, samples_T, w_adapt,
                 rb=rb,
@@ -268,24 +271,6 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                 axis_name=axis_name,
                 transposed=True,
             )
-            sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
-            sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
-            wlogw = jnp.where(weights > 0,
-                              weights * jnp.log(jnp.where(weights > 0, weights, 1.0)),
-                              0.0)
-            sum_wlogw = jax.lax.psum(jnp.sum(wlogw), axis_name)
-        else:
-            samples_T, weights, latent = _is_body(params, my_key, n_local,
-                                                  target_of(tp))
-            result = pmc_update(
-                params, samples_T, weights,
-                rb=rb,
-                dof_solver_steps=dof_solver_steps if is_t else 0,
-                mindof=mindof, maxdof=maxdof,
-                axis_name=axis_name,
-                transposed=True,
-            )
-            sum_w = jax.lax.psum(jnp.sum(weights), axis_name)
             sum_w2 = jax.lax.psum(jnp.sum(weights**2), axis_name)
             wlogw = jnp.where(weights > 0,
                               weights * jnp.log(jnp.where(weights > 0, weights, 1.0)),

@@ -14,8 +14,10 @@ measured <=0.06% evidence error at D=40 in float32 on TPU):
 
 Every device-side stage runs the fused TPU kernels where available (the
 VMEM-resident MCMC pool for mixture targets at D <= 24, the fused VB
-E-step, the fused IS propose/evaluate step, the one-kernel Student-t PMC
-step for mixture targets).
+E-step, the fused IS propose/evaluate step).  The PMC refinement defaults
+to the clipped-weight adaptation (robustness beats the last HBM pass for
+a 10-step stage); ``pmc_weight_clip=False`` selects the one-kernel fused
+Student-t PMC step instead.
 """
 
 import time
@@ -97,9 +99,11 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     :param n_is1, n_is2: particle counts of the two IS runs.
     :param vb_iterations, rel_tol, abs_tol: VB convergence controls.
     :param return_samples: with False, the combined IS samples are NOT
-        materialized on the host (``result.samples`` is None) -- an
-        evidence-only run then never pays the final O(N*D) device->host
-        transfer.
+        materialized on the host (``result.samples`` is None).  On the
+        single-device path an evidence-only run then never pays the final
+        O(N*D) device->host transfer; under ``mesh=`` the runs are
+        host-gathered either way (the sharded combination requires it)
+        and only the final copy into ``result.samples`` is skipped.
     :returns: :class:`IntegrateResult`.
     """
     import jax
@@ -157,21 +161,16 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     def _have(name):
         return checkpoint_dir is not None and _os.path.exists(_ck(name))
 
-    # a crash mid-save must not leave a truncated npz that breaks every
-    # later resume: write to a temp name, fsync, then atomically replace
-    def _atomic_savez(path, **arrays):
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, **arrays)
-            fh.flush()
-            _os.fsync(fh.fileno())
-        _os.replace(tmp, path)
+    _atomic_savez = _checkpoint.atomic_savez
 
     # resuming under different kwargs would apply the CURRENT schedule to
     # stale state (e.g. a changed mcmc_steps slices the loaded pool into
-    # an empty burn-in) -- fingerprint the config and reject mismatches
+    # an empty burn-in) -- fingerprint every knob that shapes the
+    # checkpointed state and reject mismatches
     config_fp = np.array([dim, len(starts), mcmc_steps, mcmc_cycles,
-                          thin, K_g], dtype=np.int64)
+                          thin, K_g, critical_r, inflate, pmc_dof,
+                          vb_iterations, rel_tol, abs_tol],
+                         dtype=np.float64)
 
     def _check_fp(data, path):
         fp = data.get("config_fp")
@@ -190,11 +189,9 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
     vbmix = prior = None
     final_mix = None
     if _have("refined_mixture.npz"):
+        with np.load(_ck("refined_mixture.npz")) as data:
+            _check_fp(data, _ck("refined_mixture.npz"))
         final_mix = _checkpoint.load_mixture(_ck("refined_mixture.npz"))
-        if final_mix.dim != dim:
-            raise ValueError(
-                "refined checkpoint has dimension %d, expected %d"
-                % (final_mix.dim, dim))
         resumed = ["mcmc", "vb1", "refined"]
         say("resuming from refined proposal (K=%d)", len(final_mix))
     elif _have("vb1.npz"):
@@ -408,8 +405,8 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
             len(final_mix), details["pmc_s"])
         run1_proposal = vbmix_wide
         if checkpoint_dir is not None:
-            _checkpoint.save_mixture(_ck("refined_mixture.npz"),
-                                     final_mix)
+            _checkpoint.save_mixture(_ck("refined_mixture.npz"), final_mix,
+                                     extra={"config_fp": config_fp})
     else:
         # resumed from the refined proposal: only the final
         # sampling stage runs; the estimate uses that run alone
