@@ -16,6 +16,7 @@ import numpy as _np
 
 __all__ = [
     "atomic_savez",
+    "is_primary_process",
     "save_mixture",
     "load_mixture",
     "load_mixture_params",
@@ -26,21 +27,59 @@ __all__ = [
 ]
 
 
+def is_primary_process():
+    """True unless this is a non-zero process of an initialized multi-process
+    (``jax.distributed``) runtime.  Mirrors the host-0 log gating in
+    :func:`pypmc_tpu.tools.util.log_to_stdout`: in a multi-process run every
+    process executes the same host pipeline, so without gating every process
+    would write the same checkpoint path concurrently."""
+    try:
+        import jax
+        from jax._src import xla_bridge
+
+        # only consult the process topology if backends are already up --
+        # asking earlier would force backend initialization at import time
+        if (
+            xla_bridge.backends_are_initialized()
+            and jax.process_count() > 1
+            and jax.process_index() != 0
+        ):
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def atomic_savez(path, **arrays):
-    """Crash-safe ``np.savez``: write to a temp name, fsync, then
+    """Crash-safe ``np.savez``: write to a unique temp name, fsync, then
     atomically replace ``path``.  A process killed mid-save can therefore
     never leave a truncated archive behind -- a half-written checkpoint
     that exists but cannot be loaded would permanently break every
-    subsequent resume."""
+    subsequent resume.
+
+    In a multi-process (``jax.distributed``) runtime only process 0
+    writes (see :func:`is_primary_process`); on the other processes this
+    is a no-op, exactly like sub-ERROR logging.  The temp name embeds the
+    pid so that even two *independent* jobs pointed at the same path can
+    never interleave into one temp file."""
     import os as _os
 
+    if not is_primary_process():
+        return
     path = str(path)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        _np.savez(fh, **arrays)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, path)
+    tmp = "%s.tmp.%d" % (path, _os.getpid())
+    try:
+        with open(tmp, "wb") as fh:
+            _np.savez(fh, **arrays)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(tmp, path)
+    except BaseException:
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def save_mixture(path, mixture, extra=None):

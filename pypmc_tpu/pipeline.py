@@ -71,7 +71,11 @@ def integrate(target, dim, starts, *, key=None, mesh=None, n_chains=None,
         refined proposal) is saved; a re-run with the same directory
         resumes from the furthest completed stage (a run resumed from the
         refined proposal redoes only the final sampling stage and
-        estimates from it alone).
+        estimates from it alone).  In a multi-process (``jax.distributed``)
+        run only process 0 writes (see
+        :func:`~pypmc_tpu.checkpoint.is_primary_process`); the directory
+        must be a path every process can read (shared filesystem), since
+        the per-stage resume decisions have to agree across processes.
     :param mesh: optional 1-D ``jax.sharding.Mesh``; both IS runs shard
         their particle axis over it (:class:`~pypmc_tpu.parallel.ParallelSampler`),
         the VB E-steps run per-shard with psum'ed statistics, and the PMC

@@ -1,5 +1,7 @@
 """Tests for the checkpoint/resume subsystem and batched-target adapters."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,7 +16,92 @@ MEANS = np.array([[1.0, -1.0], [2.0, 3.0]])
 COVS = np.array([[[1.3, 0.7], [0.7, 1.5]], [[0.5, 0.0], [0.0, 0.5]]])
 WEIGHTS = np.array([0.4, 0.6])
 
+# save->load roundtrips require this process to actually write: in the
+# 2-process suite checkpoint writes are process-0-gated (the fix for the
+# concurrent same-path write race), so the roundtrips run single-process;
+# the gating itself is covered by TestProcessGating on BOTH runtimes.
+_writes_checkpoints = pytest.mark.single_process(
+    reason="checkpoint writes are process-0-gated")
 
+
+class TestProcessGating:
+    def test_primary_process_writes(self, tmp_path):
+        """``atomic_savez`` writes on the primary process and is a no-op on
+        every other process of a multi-process runtime -- the same host-0
+        gating as sub-ERROR logging (``tools/util.py``).  Under the
+        2-process suite this asserts the file appears ONLY on process 0."""
+        primary = checkpoint.is_primary_process()
+        path = tmp_path / "gate.npz"
+        checkpoint.atomic_savez(path, x=np.arange(3.0))
+        assert path.exists() == primary
+        if primary:
+            with np.load(path) as f:
+                assert np.array_equal(f["x"], np.arange(3.0))
+
+    def test_no_tmp_leftover_on_failure(self, tmp_path):
+        """A failing save must not leave a temp file behind (a stale
+        ``*.tmp.*`` would silently accumulate in checkpoint directories)."""
+        if not checkpoint.is_primary_process():
+            pytest.skip("write path runs on the primary process only")
+
+        class Boom:
+            def __array__(self, dtype=None):
+                raise RuntimeError("boom")
+
+        with pytest.raises(Exception):
+            checkpoint.atomic_savez(tmp_path / "x.npz", x=Boom())
+        assert list(tmp_path.iterdir()) == []
+
+    def test_concurrent_writers_never_corrupt(self, tmp_path):
+        """Two INDEPENDENT processes hammering the same checkpoint path must
+        never produce an unloadable archive: the temp name embeds the pid, so
+        writers cannot interleave into one temp file (the round-4 race: a
+        fixed ``path + '.tmp'`` let concurrent ``np.savez`` calls corrupt the
+        archive before ``os.replace``)."""
+        import subprocess
+        import sys
+
+        if not checkpoint.is_primary_process():
+            pytest.skip("write path runs on the primary process only")
+        target = tmp_path / "contended.npz"
+        script = (
+            "import sys, numpy as np\n"
+            "sys.path.insert(0, %r)\n"
+            "from pypmc_tpu import checkpoint\n"
+            "val = float(sys.argv[2])\n"
+            "for _ in range(40):\n"
+            "    checkpoint.atomic_savez(sys.argv[1], x=np.full(2048, val))\n"
+            % os.getcwd()
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, str(target), str(v)], env=env)
+            for v in (1.0, 2.0)
+        ]
+        bad = 0
+        import time
+        deadline = time.time() + 120
+        while any(p.poll() is None for p in procs) and time.time() < deadline:
+            if target.exists():
+                try:
+                    with np.load(target) as f:
+                        x = f["x"]
+                        ok = (x.shape == (2048,) and x[0] in (1.0, 2.0)
+                              and (x == x[0]).all())
+                except Exception:
+                    ok = False
+                if not ok:
+                    bad += 1
+            time.sleep(0.001)
+        for p in procs:
+            p.wait(timeout=60)
+            assert p.returncode == 0
+        assert bad == 0, "%d corrupt/torn reads of the checkpoint" % bad
+        assert not [p for p in tmp_path.iterdir() if ".tmp" in p.name]
+
+
+@_writes_checkpoints
 class TestMixtureCheckpoint:
     def test_gauss_roundtrip(self, tmp_path):
         mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
@@ -43,6 +130,7 @@ class TestMixtureCheckpoint:
         assert np.isclose(loaded.evaluate(x), mix.evaluate(x))
 
 
+@_writes_checkpoints
 class TestVBCheckpoint:
     def test_vb_roundtrip_continues(self, tmp_path):
         rng = np.random.default_rng(0)
@@ -60,6 +148,7 @@ class TestVBCheckpoint:
         assert vb2.likelihood_bound() >= bound - 1e-8
 
 
+@_writes_checkpoints
 class TestChainCheckpoint:
     def test_chain_roundtrip(self, tmp_path):
         inv = jnp.linalg.inv(jnp.asarray(COVS[0]))

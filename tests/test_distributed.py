@@ -145,6 +145,32 @@ adapted2, stats2 = pmc_run_sharded(t_params, p0, n_total=403, n_steps=1,
 all_ok &= report("non_divisible",
                  np.isfinite(np.asarray(adapted2.means)).all())
 
+# ---- 5. checkpoint writes into a SHARED directory: process-0-gated ---- #
+# Both processes call the savers on the SAME path (exactly what
+# pipeline.integrate(checkpoint_dir=) does in a multi-process run); only
+# process 0 may write, and the write-then-resume roundtrip must hand every
+# process identical state.
+from jax.experimental import multihost_utils
+from pypmc_tpu import checkpoint as ckpt
+
+shared_dir = sys.argv[3]
+gate_path = os.path.join(shared_dir, "gate.npz")
+ckpt.atomic_savez(gate_path, marker=np.array([float(PID)]))
+mix_path = os.path.join(shared_dir, "adapted.npz")
+ckpt.save_mixture(mix_path, adapted)
+multihost_utils.sync_global_devices("ckpt_written")
+with np.load(gate_path) as f:
+    surviving_writer = int(f["marker"][0])
+loaded = ckpt.load_mixture_params(mix_path)  # resume on BOTH processes
+all_ok &= report(
+    "ckpt_gate",
+    surviving_writer == 0
+    and ckpt.is_primary_process() == (PID == 0)
+    and np.allclose(np.asarray(loaded.means), np.asarray(adapted.means)),
+    "writer=%d" % surviving_writer)
+print("DIGEST ckpt %s" % digest(
+    (loaded.means, loaded.cov, loaded.weights)), flush=True)
+
 print("RESULT", PID, "OK" if all_ok else "MISMATCH", flush=True)
 sys.exit(0 if all_ok else 1)
 """
@@ -161,6 +187,8 @@ def _launch():
     worker_file = os.path.join(workdir, "worker.py")
     with open(worker_file, "w") as f:
         f.write(_WORKER)
+    shared_ckpt_dir = os.path.join(workdir, "ckpt")
+    os.makedirs(shared_ckpt_dir, exist_ok=True)
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -169,7 +197,7 @@ def _launch():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker_file, coord, str(i)],
+            [sys.executable, worker_file, coord, str(i), shared_ckpt_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -226,13 +254,21 @@ def test_two_process_non_divisible_n(dist_run):
 
 
 @pytest.mark.slow
+def test_two_process_checkpoint_gating(dist_run):
+    """Checkpoint writes into a SHARED directory are process-0-gated (the
+    round-4 concurrent same-path write race) and the write->resume
+    roundtrip hands both processes the saved state."""
+    _check_marker(dist_run[1], "ckpt_gate")
+
+
+@pytest.mark.slow
 def test_processes_agree_without_broadcast(dist_run):
     """Every process must print the SAME digest for the adapted mixture and
     the VB posterior: the psum'ed-statistics design means no process ever
     needs the reference's rank-0 proposal broadcast
     (``examples/pmc_mpi.py:128``)."""
     _, outputs = dist_run
-    for tag in ("is_pmc", "vb"):
+    for tag in ("is_pmc", "vb", "ckpt"):
         digests = []
         for i, out in enumerate(outputs):
             line = [l for l in out.splitlines()

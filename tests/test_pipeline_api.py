@@ -74,6 +74,14 @@ def test_integrate_sharded_mesh():
     assert "pmc_perplexity_curve" in r.details
 
 
+# resume tests require this process to write checkpoints: writes are
+# process-0-gated (multi-process checkpointing is covered by the shared-dir
+# scenario in test_distributed.py)
+_writes_checkpoints = pytest.mark.single_process(
+    reason="checkpoint writes are process-0-gated")
+
+
+@_writes_checkpoints
 def test_integrate_checkpoint_resume(tmp_path):
     """checkpoint_dir saves each completed stage; a re-run resumes from
     the furthest one (refined proposal -> only the final sampling stage
@@ -111,6 +119,40 @@ def test_integrate_return_samples_false():
     assert r.n_samples == (1 << 13) + (1 << 14)
 
 
+@_writes_checkpoints
+def test_integrate_mesh_checkpoint_resume(tmp_path):
+    """mesh= combined with checkpoint_dir= (the round-4 verdict's untested
+    combination): the sharded pipeline writes stage checkpoints and a
+    re-run resumes from the refined proposal, re-running only the final
+    sharded sampling stage."""
+    import os
+
+    from pypmc_tpu.parallel import particle_mesh
+
+    dim = 3
+    mesh = particle_mesh()
+    ck = str(tmp_path / "ck")
+    kwargs = dict(mesh=mesh, mcmc_steps=200, mcmc_cycles=6, n_is1=1 << 14,
+                  n_is2=1 << 15, pmc_steps=5, checkpoint_dir=ck)
+    r1 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r1.details["resumed_stages"] == []
+    assert sorted(os.listdir(ck)) == [
+        "mcmc.npz", "refined_mixture.npz", "vb1.npz", "vb1_mixture.npz"]
+    assert abs(r1.evidence - 1.0) < 0.03, r1
+
+    r2 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r2.details["resumed_stages"] == ["mcmc", "vb1", "refined"]
+    assert abs(r2.evidence - 1.0) < 0.03, r2
+    assert r2.n_samples == 1 << 15  # final sharded run only
+
+    # mid-pipeline resume under the mesh: drop the refined proposal, keep VB1
+    os.remove(os.path.join(ck, "refined_mixture.npz"))
+    r3 = pt.pipeline.integrate(bimodal(dim), dim, make_starts(dim), **kwargs)
+    assert r3.details["resumed_stages"] == ["mcmc", "vb1"]
+    assert abs(r3.evidence - 1.0) < 0.03, r3
+
+
+@_writes_checkpoints
 def test_integrate_checkpoint_config_mismatch(tmp_path):
     """A checkpoint written under different pipeline kwargs must be
     rejected loudly, not silently combined with the current schedule."""
