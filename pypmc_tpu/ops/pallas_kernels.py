@@ -386,15 +386,70 @@ def _kernel_uniform(shape, offset=0):
     return i.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
+# Degree-5 near-minimax (Chebyshev-fit) coefficients in r = t^2 for
+# cos((pi/2) t) and sin((pi/2) t) / t on t in [0, 1): max abs error of the
+# reconstructed cos/sin(2*pi*u) is <= 2.1e-7 in float32 -- at the f32
+# resolution (validated against float64 numpy in tests/test_rng_kernels.py).
+_COS_HALF_PI_COEF = (9.9999999985e-01, -1.2337005381e+00, 2.5366935701e-01,
+                     -2.0862795046e-02, 9.1785861521e-04, -2.3883017861e-05)
+_SIN_HALF_PI_COEF = (1.5707963268e+00, -6.4596409604e-01, 7.9692607918e-02,
+                     -4.6816708701e-03, 1.6027107797e-04, -3.4389421972e-06)
+
+
+def _horner(coef, r):
+    acc = jnp.float32(coef[-1])
+    for c in coef[-2::-1]:
+        acc = acc * r + jnp.float32(c)
+    return acc
+
+
+def _sincos_2pi(u):
+    """``(cos(2 pi u), sin(2 pi u))`` for uniform ``u`` in [0, 1) via exact
+    quadrant folding + two degree-5 polynomials (<= 2.1e-7 abs error).
+
+    Why not ``jnp.cos``/``jnp.sin``: the VPU's exp/log/sqrt are
+    hardware-cheap (~0 extra lane-ops over a mul -- measured,
+    ``benchmarks/vpu_microbench.py``), but sin/cos cost ~25 lane-ops each;
+    for a UNIFORM angle the range reduction is a trivial exact fold, so
+    the polynomial pair removes the two costliest ops of the Box-Muller
+    draw.  Replaces the hot loop the reference runs per proposal draw
+    (``/root/reference/pypmc/density/gauss.pyx:50-52``)."""
+    t4 = u * 4.0
+    q = jnp.floor(t4)
+    t = t4 - q
+    r = t * t
+    c = _horner(_COS_HALF_PI_COEF, r)       # cos((pi/2) t)
+    s = t * _horner(_SIN_HALF_PI_COEF, r)   # sin((pi/2) t)
+    qi = q.astype(jnp.int32)
+    swap = (qi == 1) | (qi == 3)
+    cq = jnp.where(swap, s, c)
+    sq = jnp.where(swap, c, s)
+    cos_v = jnp.where((qi == 1) | (qi == 2), -cq, cq)
+    sin_v = jnp.where(qi >= 2, -sq, sq)
+    return cos_v, sin_v
+
+
+def _bm_use_trig():
+    """``PYPMC_TPU_NORMAL=trig`` selects the jnp.sin/cos Box-Muller halves
+    (kept for A/B measurement); default is the polynomial fold."""
+    import os
+
+    return os.environ.get("PYPMC_TPU_NORMAL") == "trig"
+
+
 def _kernel_normal_pair(shape):
     """TWO independent standard-normal arrays of ``shape`` from one
     Box-Muller draw (cosine and sine halves) -- half the log/sqrt count of
-    drawing twice with only the cosine half."""
+    drawing twice with only the cosine half.  The circle point comes from
+    :func:`_sincos_2pi` (hardware sin/cos are the draw's costliest ops)."""
     u1 = _kernel_uniform(shape, offset=1)
     u2 = _kernel_uniform(shape, offset=0)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = (2.0 * jnp.pi) * u2
-    return r * jnp.cos(theta), r * jnp.sin(theta)
+    if _bm_use_trig():
+        theta = (2.0 * jnp.pi) * u2
+        return r * jnp.cos(theta), r * jnp.sin(theta)
+    c, s = _sincos_2pi(u2)
+    return r * c, r * s
 
 
 def _kernel_normal_rows(rows, tn):
@@ -1985,10 +2040,28 @@ def fused_is_pmc_step_blocked(seed, cumw, ct2, mu2, dof_row,
 
 def _mcmc_bytes_per_lane(dim: int, kt: int, sc: int) -> int:
     """Per-chain-lane VMEM cost estimate for the MCMC pool kernel: the
-    per-chain Cholesky rows plus its two (D*D, CB) transients, the target
+    per-chain Cholesky column slabs (D slabs of (pad8(D), CB)), the target
     evaluation transients, the ``sc``-step output chunk and state rows."""
-    return 4 * (3 * _pad8(dim * dim) + 2 * _pad8(kt * (dim + 1))
+    return 4 * (dim * _pad8(dim) + 2 * _pad8(kt * (dim + 1))
                 + sc * _pad8(dim) + _pad8(kt) + 10 * _pad8(dim) + 16)
+
+
+def mcmc_step_chunk(n_steps: int, dim: int) -> int:
+    """Steps unrolled per grid step of :func:`fused_mcmc_pool` (must divide
+    ``n_steps``).  The per-step body is D broadcast-FMAs over (D, CB) plus
+    one target evaluation, so the unrolled compile unit stays small up to
+    very high D; cap the unroll at ``2048 // D`` statements as a remote-
+    compile-service safety margin.  ``PYPMC_TPU_MCMC_SC`` overrides the cap
+    (the value is still clamped to a divisor of ``n_steps``) -- directly
+    attached hardware compiles far larger chunks than the tunneled Mosaic
+    service this default was tuned against."""
+    import os
+
+    cap = min(8, max(1, 2048 // max(1, dim)))
+    env = os.environ.get("PYPMC_TPU_MCMC_SC")
+    if env:
+        cap = max(1, int(env))
+    return max(s for s in range(1, min(cap, n_steps) + 1) if n_steps % s == 0)
 
 
 def pick_chain_block(dim: int, kt: int, sc: int, student_t_prop: bool,
@@ -1996,14 +2069,26 @@ def pick_chain_block(dim: int, kt: int, sc: int, student_t_prop: bool,
     """Chain-block (lane) size for :func:`fused_mcmc_pool`: a multiple of
     the RNG quantum (1024) when the proposal is Student-t (the in-kernel
     chi-square runs in the :func:`_rows8` layout), else of the 128-lane
-    vreg width."""
+    vreg width.  Gate on :func:`fits_vmem_mcmc` first: the rounding-up to
+    the quantum here can otherwise overcommit VMEM."""
     q = QUANTUM_RNG if student_t_prop else QUANTUM_EVAL
     cb = vmem_budget_bytes // max(1, _mcmc_bytes_per_lane(dim, kt, sc))
     cb = max(q, min(8192, int(cb)))
     return (cb // q) * q
 
 
-def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
+def fits_vmem_mcmc(dim: int, kt: int, n_steps: int, student_t_prop: bool,
+                   vmem_budget_bytes: int = _VMEM_BUDGET) -> bool:
+    """Whether :func:`fused_mcmc_pool` fits the VMEM budget at the minimum
+    chain-block for a (D-dim, kt-component-target) pool.  Callers fall back
+    to the XLA scan pool when False (the reference's MCMC runs at any D,
+    ``sampler/markov_chain.py:100-165`` -- so must we, just not fused)."""
+    q = QUANTUM_RNG if student_t_prop else QUANTUM_EVAL
+    sc = mcmc_step_chunk(n_steps, dim)
+    return _mcmc_bytes_per_lane(dim, kt, sc) * q <= vmem_budget_bytes
+
+
+def _mcmc_pool_kernel(seed_ref, cholc_ref, dofp_ref,
                       tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
                       x0_ref, e0_ref,
                       out_ref, acc_ref, nan_ref, xf_ref, ef_ref, *,
@@ -2016,11 +2101,14 @@ def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
     ``xf``/``ef`` across the (sequential) step-chunk grid axis, so across
     the entire cycle each chain's state is read and written exactly once in
     HBM.  Per step: standard normals from the hardware PRNG, the per-chain
-    proposal ``delta = chol_c @ z_c`` as a selector-expand + row-product +
-    block-sum contraction (no (CB, D, D) gather), optional Student-t
-    chi-square scale (Marsaglia-Tsang in the 8-row layout), the mixture
-    target evaluated on the VMEM-resident proposed tile, and the Metropolis
-    accept against an in-kernel uniform.
+    proposal ``delta = chol_c @ z_c`` streamed as D rank-1 column updates
+    ``delta += cholc[e] * z[e]`` over (D, CB) slabs (the round-4 (D^2, CB)
+    selector expansion was compile-hostile past D ~ 24; the streamed form
+    compiles and runs at any D the VMEM budget admits, and is EXACT f32
+    FMA instead of a 2^-16 split-precision contraction), optional
+    Student-t chi-square scale (Marsaglia-Tsang in the 8-row layout), the
+    mixture target evaluated on the VMEM-resident proposed tile, and the
+    Metropolis accept against an in-kernel uniform.
 
     Reference semantics: the ``run`` hot loop of
     ``sampler/markov_chain.py:100-165`` with a symmetric proposal, vmapped
@@ -2043,16 +2131,15 @@ def _mcmc_pool_kernel(seed_ref, cholr_ref, dofp_ref,
     acc = acc_ref[:]
     nan_c = nan_ref[:]
     cb = cur.shape[1]
-    dd = dim * dim
-    # zexp[d*D+e, c] = z[e, c]; delta[d, c] = sum_e cholr[d*D+e, c] zexp
-    posT = _pos_selector(dim, dd, jnp.float32).T     # (D*D, D)
-    blocksel = _block_selector(dim, dd, dim, jnp.float32)  # (D, D*D)
-    cholr = cholr_ref[:]
     tdof = tdof_ref[:] if t_student_t else None
     for s in range(sc):
         z = _kernel_normal_rows(dim, cb)             # (D, CB)
-        zexp = _dot_sel(posT, z)                     # (D*D, CB), exact
-        delta = _dot_acc(blocksel, cholr * zexp)     # (D, CB)
+        # delta[d, c] = sum_e chol_c[d, e] z[e, c]: stream the D Cholesky
+        # COLUMN slabs (each an aligned (D, CB) block of the 3-D ref)
+        # against the broadcast z rows -- peak transient is (D, CB)
+        delta = cholc_ref[0] * z[0:1, :]
+        for e in range(1, dim):
+            delta = delta + cholc_ref[e] * z[e:e + 1, :]
         if student_t_prop:
             dof8 = jnp.full((8, cb // 8), dofp_ref[0, 0], jnp.float32)
             log_chi2 = _kernel_log_chi2(dof8)
@@ -2106,14 +2193,9 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
     C = x0T.shape[1]
     kt = target[0].shape[0] // dim
     student_t_prop = dof_prop is not None
-    # largest step-chunk <= 8 dividing n_steps (out chunks must tile
-    # evenly).  The kernel body unrolls sc Metropolis steps, each with a
-    # (D^2, CB) selector contraction -- cap the unrolled work at higher D
-    # so the Mosaic compile unit stays small (the flagship D<=11 keeps
-    # sc=8; compile time was the practical bottleneck at D=20 through this
-    # environment's remote compile service)
-    sc_cap = max(1, 1024 // (dim * dim))
-    sc = max(s for s in range(1, min(8, sc_cap) + 1) if n_steps % s == 0)
+    # step-chunk dividing n_steps (out chunks must tile evenly); see
+    # :func:`mcmc_step_chunk` for the cap and its env override
+    sc = mcmc_step_chunk(n_steps, dim)
     cb = pick_chain_block(dim, kt, sc, student_t_prop)
     c_pad = (C + cb - 1) // cb * cb
     dtype = x0T.dtype
@@ -2121,11 +2203,19 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
 
     x0p, _ = _pad_lanes(x0T, cb)
     e0p, _ = _pad_lanes(e0[None, :].astype(dtype), cb)
+    # normalize the Cholesky dtype to the chain state's (a float64 operand
+    # -- e.g. from numpy scalar promotion on the caller side -- would
+    # otherwise poison the f32 kernel through the elementwise FMA stream)
+    cholr = cholr.astype(dtype)
     # padded chains run a unit-Cholesky random walk and are sliced away
     eye_r = jnp.eye(dim, dtype=dtype).reshape(dd, 1)
     cholr_p = jnp.concatenate(
         [cholr, jnp.broadcast_to(eye_r, (dd, c_pad - C))], axis=1
     ) if c_pad != C else cholr
+    # kernel-side layout: (D, D, C) column slabs, cholc[e][d, c] =
+    # chol_c[d, e] -- each slab is an aligned 2-D block the kernel streams
+    # as a rank-1 update (no (D^2, CB) operand ever materializes)
+    cholc_p = cholr_p.reshape(dim, dim, c_pad).transpose(1, 0, 2)
 
     ta2, tb2, tln, tw, tdof, tcenter = target
     t_student_t = tdof is not None
@@ -2140,14 +2230,16 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
         (rows, cb), lambda j, i: (0, j), memory_space=pltpu.VMEM)
 
     operands = [
-        _seed2(seed), cholr_p, dofp,
+        _seed2(seed), cholc_p, dofp,
         _center_or_zero(tcenter, dim, dtype),
         _aug_eval_operand(ta2, tb2, tcenter), tln, tw, tdof,
         x0p, e0p,
     ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        chain(dd), rep((1, 1)),
+        pl.BlockSpec((dim, dim, cb), lambda j, i: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+        rep((1, 1)),
         rep((dim, 1)), rep((kt * dim, dim + 1)),
         rep((kt, 1)), rep((kt, 1)), rep((kt, 1)),
         chain(dim), chain(1),

@@ -434,16 +434,16 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
         chol = jnp.where(ok_full, chol, jnp.where(ok_diag, diag_chol, jnp.nan))
         return unscaled_sigma, scale_factor, chol, ok_full | ok_diag
 
+    from ..ops.pallas_kernels import fits_vmem_mcmc
+
     use_fused = (
         mix_target is not None
         and starts.dtype == jnp.float32
-        and _core.use_pallas(starts, mix_target.K, D)
-        # the pool kernel's per-chain Cholesky runs as a (D^2, CB) selector
-        # expansion per step; beyond D ~ 24 the unrolled step-chunk kernel
-        # becomes compile-hostile (a D=40 compile did not complete through
-        # this environment's remote compile service) -- high-D multi-chain
-        # runs use the scan pool, which is XLA all the way
-        and D <= 24
+        and _core.use_pallas(starts)
+        # the streamed rank-1 Cholesky apply (round-5 rewrite) compiles at
+        # any D; the only remaining gate is the pool's own VMEM budget at
+        # the minimum chain block (D=40 Gaussian-proposal pools fit)
+        and fits_vmem_mcmc(D, mix_target.K, int(n_steps), dof is not None)
     )
     if use_fused:
         from ..ops.pallas_kernels import fused_mcmc_pool

@@ -72,6 +72,24 @@ def make_t_mixture(K=3, D=4, seed=1, student_t=True, dead=False):
 # software-generator quality                                          #
 # ------------------------------------------------------------------ #
 
+def test_sincos_2pi_accuracy():
+    """The polynomial circle fold used by the Box-Muller halves must match
+    float64 cos/sin(2*pi*u) to float32 resolution over the full quadrant
+    structure (incl. the fold boundaries)."""
+    u = np.concatenate([
+        np.linspace(0, 1, 200001, endpoint=False),
+        np.array([0.0, 0.25, 0.5, 0.75]) + 1e-7,
+        np.array([0.25, 0.5, 0.75, 1.0]) - 1e-7,
+    ]).astype(np.float32)
+    c, s = pk._sincos_2pi(jnp.asarray(u))
+    c, s = np.asarray(c), np.asarray(s)
+    ref_c = np.cos(2 * np.pi * u.astype(np.float64))
+    ref_s = np.sin(2 * np.pi * u.astype(np.float64))
+    assert np.abs(c - ref_c).max() < 5e-7
+    assert np.abs(s - ref_s).max() < 5e-7
+    assert np.abs(c * c + s * s - 1.0).max() < 1e-6
+
+
 def test_sw_normals_distribution():
     """fused_transform_rng with K=1, mu=0, chol=I emits raw Box-Muller
     normals from the software generator: check moments and a KS test."""
