@@ -127,7 +127,23 @@ def render_module(qualname):
 
 
 def main():
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "api")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="generate into a temp dir and diff against "
+                         "docs/api (exit 1 when stale) -- the CI doc job "
+                         "and tests/test_docs.py use this")
+    args = ap.parse_args()
+
+    docs_api = os.path.join(os.path.dirname(os.path.abspath(__file__)), "api")
+    if args.check:
+        import filecmp
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="gen_api_check_")
+    else:
+        out_dir = docs_api
     os.makedirs(out_dir, exist_ok=True)
     index = ["# API reference",
              "",
@@ -152,6 +168,20 @@ def main():
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write("\n".join(index) + "\n")
     print("wrote docs/api/README.md")
+
+    if args.check:
+        stale = []
+        for fn in sorted(os.listdir(out_dir)):
+            current = os.path.join(docs_api, fn)
+            if not os.path.exists(current) or not filecmp.cmp(
+                    os.path.join(out_dir, fn), current, shallow=False):
+                stale.append(fn)
+        extra = sorted(set(os.listdir(docs_api)) - set(os.listdir(out_dir)))
+        if stale or extra:
+            print("STALE docs/api (rerun python docs/gen_api.py): %s"
+                  % ", ".join(stale + ["extra:" + e for e in extra]))
+            raise SystemExit(1)
+        print("docs/api is current")
 
 
 if __name__ == "__main__":
