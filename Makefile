@@ -5,7 +5,8 @@ PYTHON ?= python
 CPU_ENV = JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           MPLBACKEND=Agg PYTHONPATH=.
 
-.PHONY: check check-fast check-parallel run-examples bench entry clean
+.PHONY: check check-fast check-parallel run-examples run-example-2proc \
+        docs bench entry clean
 
 # full unit + sharding test suite (8 virtual CPU devices, float64)
 check:
@@ -28,6 +29,17 @@ run-examples:
 	    echo "=== $$ex ==="; \
 	    env $(CPU_ENV) $(PYTHON) examples/$$ex.py || exit 1; \
 	done
+
+# the reference's `mpirun -n 2 examples/pmc_mpi.py` acceptance analog:
+# the large-scale PMC example under a 2-process jax.distributed runtime,
+# asserting both processes compute the identical adapted mixture
+run-example-2proc:
+	$(PYTHON) examples/launch_2proc.py --particles 100000 --steps 3
+
+# rendered documentation site + link/citation integrity check
+docs:
+	$(PYTHON) docs/gen_api.py --check
+	$(PYTHON) docs/build_site.py
 
 # throughput benchmark on the available accelerator (one JSON line)
 bench:

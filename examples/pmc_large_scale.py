@@ -30,7 +30,14 @@ def main():
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         from pypmc_tpu.parallel import distributed_initialize
 
-        distributed_initialize()
+        # manual multi-process launches (examples/launch_2proc.py, the
+        # mpirun -n 2 analog) pass the process topology via env; cluster
+        # environments (SLURM/GKE) are auto-detected with both unset
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        distributed_initialize(
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
 
     import jax
     import pypmc_tpu as pt
@@ -87,6 +94,17 @@ def main():
           "| weight mass near mode A/B:",
           np.round([w[np.linalg.norm(np.asarray(params.means) - t_means[0], axis=1) < 3].sum(),
                     w[np.linalg.norm(np.asarray(params.means) - t_means[1], axis=1) < 3].sum()], 3))
+
+    # every process must compute the IDENTICAL adapted mixture from the
+    # psum'ed statistics (no proposal broadcast -- the property that
+    # replaces the reference's rank-0 bcast, examples/pmc_mpi.py:128);
+    # examples/launch_2proc.py compares this line across processes
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (params.means, params.cov, params.weights, params.dof):
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    print("adapted digest: %s" % h.hexdigest()[:16])
 
 
 if __name__ == "__main__":
