@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--is-samples", type=int, default=1 << 21)
     ap.add_argument("--seed", type=int, default=2024)
     ap.add_argument("--student-t-target", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="print the result dict as one JSON line (the slow "
+                         "suite tests parse it)")
     args = ap.parse_args()
 
     result = run_pipeline(
@@ -120,6 +123,12 @@ def main():
         n_is2=args.is_samples, seed=args.seed,
         student_t_target=args.student_t_target)
     ok = result["abs_error_pct"] < 1.0
+    if args.json:
+        import json
+
+        print("JSON " + json.dumps({k: (float(v) if hasattr(v, "item")
+                                        or isinstance(v, float) else v)
+                                    for k, v in result.items()}))
     print("RESULT %s: %.3f%% evidence error at D=%d (claim: <1%%)"
           % ("OK" if ok else "FAIL", result["abs_error_pct"], args.dim))
     sys.exit(0 if ok else 1)
