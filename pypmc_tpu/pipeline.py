@@ -13,8 +13,9 @@ measured <=0.06% evidence error at D=40 in float32 on TPU):
     deterministic-mixture combination.
 
 Every device-side stage runs the fused TPU kernels where available (the
-VMEM-resident MCMC pool for mixture targets at D <= 24, the fused VB
-E-step, the fused IS propose/evaluate step).  The PMC refinement defaults
+VMEM-resident MCMC pool for mixture targets that fit its VMEM budget --
+any D of practical interest, see ``ops.pallas_kernels.fits_vmem_mcmc`` --
+the fused VB E-step, the fused IS propose/evaluate step).  The PMC refinement defaults
 to the clipped-weight adaptation (robustness beats the last HBM pass for
 a 10-step stage); ``pmc_weight_clip=False`` selects the one-kernel fused
 Student-t PMC step instead.
