@@ -27,13 +27,13 @@ N = 1 << 26   # particles per step (TPU; production-scale batch)
 N_CPU = 1 << 16  # particles per step for the numpy baseline (extrapolated)
 REPS = 10
 TRIALS = 3    # independent timing loops; report the best trial median
-# Recorded floor: at N=2^26 the step repeats within ~1% (446.9 M measured
-# with the round-5 polynomial circle fold, kernel-only rate ~540 M net of
-# the ~26 ms tunnel dispatch floor; see BENCHMARKS.md "Round 5").  A
-# best-of-3 result below this floor indicates a REAL regression.  (Floor
-# history: 320 M at N=2^25 -> 370 M at N=2^26 -> 410 M with the
-# polynomial Box-Muller halves.)
-FLOOR = 410e6
+# Recorded floor: at N=2^26 the step repeats within ~1% (588.3 M measured
+# after the round-5 polynomial circle fold + streamed one-hot gathers,
+# kernel-only rate ~760 M net of the ~26 ms tunnel dispatch floor; see
+# BENCHMARKS.md "Round 5").  A best-of-3 result below this floor indicates
+# a REAL regression.  (Floor history: 320 M at N=2^25 -> 370 M at N=2^26
+# -> 410 M polynomial Box-Muller -> 540 M streamed gathers.)
+FLOOR = 540e6
 
 
 def make_problem(dtype):

@@ -254,8 +254,16 @@ def _component_logpdfs_tile(x, c, a_aug, log_norm, dof, dim):
     x_aug = jnp.concatenate(
         [xc, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
     diff = _dot_val(a_aug, x_aug)        # (K*D, TN), already centered
-    seg = _block_selector(K, kd, dim, x.dtype)
-    maha = _dot_acc(seg, diff * diff)    # (K, TN)
+    diff2 = diff * diff
+    if _gather_use_matmul():
+        seg = _block_selector(K, kd, dim, x.dtype)
+        maha = _dot_acc(seg, diff2)      # (K, TN)
+    else:
+        # streamed per-block sublane reduction (exact f32; the selector
+        # matmul pays a 2-way bf16 split of the (K*D, TN) operand)
+        maha = jnp.concatenate(
+            [jnp.sum(diff2[k * dim:(k + 1) * dim], axis=0, keepdims=True)
+             for k in range(K)], axis=0)
     if dof is not None:
         return log_norm - 0.5 * (dof + dim) * jnp.log1p(maha / dof)
     return log_norm - 0.5 * maha
@@ -437,6 +445,15 @@ def _bm_use_trig():
     return os.environ.get("PYPMC_TPU_NORMAL") == "trig"
 
 
+def _gather_use_matmul():
+    """``PYPMC_TPU_GATHER=matmul`` selects the selector-matmul one-hot
+    gather in the propose tile (kept for A/B measurement); default is the
+    streamed slab-FMA form."""
+    import os
+
+    return os.environ.get("PYPMC_TPU_GATHER") == "matmul"
+
+
 def _kernel_normal_pair(shape):
     """TWO independent standard-normal arrays of ``shape`` from one
     Box-Muller draw (cosine and sine halves) -- half the log/sqrt count of
@@ -568,15 +585,40 @@ def _propose_tile(onehot, scale, ct_ref, mu_ref, dof_ref, *,
     z = _kernel_normal_rows(dim, tn)
 
     y = _dot_val(ct_ref[:], z)
-    seg = _block_selector(n_comp, kd, dim, jnp.float32)
-    pos = _pos_selector(dim, kd, jnp.float32)
-    onehot_exp = _dot01(seg.T, onehot)
-    y_sel = _dot_sel(pos, y * onehot_exp)
-    mu_sel = _dot_selr(mu_ref[:], onehot)
+    if _gather_use_matmul():
+        seg = _block_selector(n_comp, kd, dim, jnp.float32)
+        pos = _pos_selector(dim, kd, jnp.float32)
+        onehot_exp = _dot01(seg.T, onehot)
+        y_sel = _dot_sel(pos, y * onehot_exp)
+    else:
+        # stream the K component blocks against the broadcast one-hot rows
+        # (exact f32 FMA): the selector-matmul form above pays a 3-way
+        # bf16 split of the (K*D, TN) value operand -- ~5 VPU lane-ops per
+        # row -- where this is K slab FMAs (~K*D lane-ops, 2-5x less at
+        # the flagship K=10, D=10; measured in BENCHMARKS.md round 5)
+        y_sel = None
+        for k in range(n_comp):
+            term = y[k * dim:(k + 1) * dim, :] * onehot[k:k + 1, :]
+            y_sel = term if y_sel is None else y_sel + term
+    if _gather_use_matmul():
+        mu_sel = _dot_selr(mu_ref[:], onehot)
+    else:
+        # ditto for the mean gather: K broadcast FMAs instead of a 3-pass
+        # split matmul (each pass streams the full tile through the MXU)
+        mu_sel = None
+        for k in range(n_comp):
+            term = mu_ref[:, k:k + 1] * onehot[k:k + 1, :]
+            mu_sel = term if mu_sel is None else mu_sel + term
     if student_t:
         # per-lane dof via one-hot contraction, then the in-kernel chi2 in
         # the full-sublane-utilization layout; scale = sqrt(dof / chi2)
-        dof_sel = _dot_selr(dof_ref[:], onehot)  # (1, K) @ (K, TN)
+        if _gather_use_matmul():
+            dof_sel = _dot_selr(dof_ref[:], onehot)  # (1, K) @ (K, TN)
+        else:
+            dof_sel = None
+            for k in range(n_comp):
+                term = dof_ref[:, k:k + 1] * onehot[k:k + 1, :]
+                dof_sel = term if dof_sel is None else dof_sel + term
         dof8 = _rows8(dof_sel)
         log_chi2 = _kernel_log_chi2(dof8)
         scale8 = jnp.exp(0.5 * (jnp.log(dof8) - log_chi2))
@@ -646,9 +688,14 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
     # components (weight 0) have an empty interval and are never drawn
     u = _kernel_uniform((1, tn), offset=0)
     cmp = (u >= cumw_ref[:]).astype(jnp.float32)          # (K, TN)
-    ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, 1), 0)
-    mask = (ks < n_comp - 1).astype(jnp.float32).reshape(1, n_comp)
-    lat_f = _dot01(mask, cmp)                             # (1, TN)
+    if _gather_use_matmul():
+        ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, 1), 0)
+        mask = (ks < n_comp - 1).astype(jnp.float32).reshape(1, n_comp)
+        lat_f = _dot01(mask, cmp)                         # (1, TN)
+    else:
+        # plain sublane reduction over the first K-1 comparison rows --
+        # one fewer full-tile MXU pass than the masked matmul
+        lat_f = jnp.sum(cmp[:n_comp - 1, :], axis=0, keepdims=True)
     lat = lat_f.astype(jnp.int32)
     lat_ref[:] = lat
     onehot = _onehot_from_latent(lat, n_comp, tn)
