@@ -72,7 +72,17 @@ def _pad8(n):
     return (n + 7) // 8 * 8
 
 
-_VMEM_BUDGET = 6 * 1024 * 1024
+def _vmem_budget_default():
+    """Per-kernel VMEM budget for tile sizing.  Larger tiles amortize the
+    per-grid-step MXU weight fills and pipeline turnarounds; 6 MiB of the
+    16 MiB VMEM leaves room for Pallas double-buffering.  Overridable via
+    ``PYPMC_TPU_VMEM_BUDGET`` (bytes) for A/B tuning."""
+    import os
+
+    return int(os.environ.get("PYPMC_TPU_VMEM_BUDGET", 6 * 1024 * 1024))
+
+
+_VMEM_BUDGET = _vmem_budget_default()
 
 # Lane-tile quantum per kernel family.  Kernels whose hot loops use the
 # :func:`_rows8` relayout (the in-kernel RNG / chi-square paths) need tiles
