@@ -221,6 +221,34 @@ def _pos_selector(dim, kd, dtype):
     return (rows == cols).astype(dtype)
 
 
+def _block_sum(v, n_blocks, dim, exact=True):
+    """Per-block sublane sums: ``(n_blocks*D, TN) -> (n_blocks, TN)``.
+
+    Default: streamed sequential sublane reductions -- exact f32, ~D
+    lane-ops per block and no MXU traffic.  ``PYPMC_TPU_GATHER=matmul``
+    selects the 0/1-selector matmul form (3 exact / 2 approximate bf16
+    passes + the bf16 split of the (n_blocks*D, TN) operand) for A/B;
+    measured slower at every shape tried (BENCHMARKS.md round 5)."""
+    if _gather_use_matmul():
+        seg = _block_selector(n_blocks, n_blocks * dim, dim, v.dtype)
+        return (_dot_sel if exact else _dot_acc)(seg, v)
+    return jnp.concatenate(
+        [jnp.sum(v[k * dim:(k + 1) * dim], axis=0, keepdims=True)
+         for k in range(n_blocks)], axis=0)
+
+
+def _block_expand(rows, n_blocks, dim):
+    """Per-block broadcast: ``(n_blocks, TN) -> (n_blocks*D, TN)`` with
+    row ``k`` repeated over its D block rows (layout inverse of
+    :func:`_block_sum`); exact either way."""
+    if _gather_use_matmul():
+        seg = _block_selector(n_blocks, n_blocks * dim, dim, rows.dtype)
+        return _dot_sel(seg.T, rows)
+    return jnp.concatenate(
+        [jnp.broadcast_to(rows[k:k + 1, :], (dim, rows.shape[1]))
+         for k in range(n_blocks)], axis=0)
+
+
 def _aug_eval_operand(a2, b2, center=None):
     """XLA-side prep: fold the projected means into the projection matrix,
     ``a_aug (K*D, D+1) = [a2 | b2']`` -- the kernel then gets the centered
@@ -264,16 +292,7 @@ def _component_logpdfs_tile(x, c, a_aug, log_norm, dof, dim):
     x_aug = jnp.concatenate(
         [xc, jnp.full((1, tn), -1.0, dtype=x.dtype)], axis=0)
     diff = _dot_val(a_aug, x_aug)        # (K*D, TN), already centered
-    diff2 = diff * diff
-    if _gather_use_matmul():
-        seg = _block_selector(K, kd, dim, x.dtype)
-        maha = _dot_acc(seg, diff2)      # (K, TN)
-    else:
-        # streamed per-block sublane reduction (exact f32; the selector
-        # matmul pays a 2-way bf16 split of the (K*D, TN) operand)
-        maha = jnp.concatenate(
-            [jnp.sum(diff2[k * dim:(k + 1) * dim], axis=0, keepdims=True)
-             for k in range(K)], axis=0)
+    maha = _block_sum(diff * diff, K, dim, exact=False)   # (K, TN)
     if dof is not None:
         return log_norm - 0.5 * (dof + dim) * jnp.log1p(maha / dof)
     return log_norm - 0.5 * maha
@@ -315,8 +334,7 @@ def _maha_kernel(x_ref, c_ref, a_ref, out_ref, *, dim):
         [x_ref[:] - c_ref[:], jnp.full((1, tn), -1.0, dtype=x_ref.dtype)],
         axis=0)
     diff = _dot_val(a_ref[:], x_aug)
-    seg = _block_selector(K, kd, dim, diff.dtype)
-    out_ref[:] = _dot_acc(seg, diff * diff)
+    out_ref[:] = _block_sum(diff * diff, K, dim, exact=False)
 
 
 def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
@@ -328,13 +346,22 @@ def _transform_kernel(z_ref, lat_ref, scale_ref, ct_ref, mu_ref, out_ref, *,
     lat = lat_ref[:]                      # (1, TN) int32
     ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, tn), 0)
     onehot = (lat == ks).astype(z.dtype)  # (K, TN)
-    # expand the one-hot over each length-D sublane block, mask, then
-    # contract the block structure away (no in-kernel reshapes)
-    seg = _block_selector(n_comp, kd, dim, z.dtype)   # (K, K*D)
-    pos = _pos_selector(dim, kd, z.dtype)             # (D, K*D)
-    onehot_exp = _dot01(seg.T, onehot)                # (K*D, TN)
-    y_sel = _dot_sel(pos, y * onehot_exp)             # (D, TN)
-    mu_sel = _dot_selr(mu_ref[:], onehot)             # (D, K) @ (K, TN)
+    if _gather_use_matmul():
+        # expand the one-hot over each length-D sublane block, mask, then
+        # contract the block structure away (no in-kernel reshapes)
+        seg = _block_selector(n_comp, kd, dim, z.dtype)   # (K, K*D)
+        pos = _pos_selector(dim, kd, z.dtype)             # (D, K*D)
+        onehot_exp = _dot01(seg.T, onehot)                # (K*D, TN)
+        y_sel = _dot_sel(pos, y * onehot_exp)             # (D, TN)
+        mu_sel = _dot_selr(mu_ref[:], onehot)             # (D, K) @ (K, TN)
+    else:
+        # streamed slab FMAs (see _propose_tile)
+        y_sel = mu_sel = None
+        for k in range(n_comp):
+            yt = y[k * dim:(k + 1) * dim, :] * onehot[k:k + 1, :]
+            mt = mu_ref[:, k:k + 1] * onehot[k:k + 1, :]
+            y_sel = yt if y_sel is None else y_sel + yt
+            mu_sel = mt if mu_sel is None else mu_sel + mt
     out_ref[:] = mu_sel + y_sel * scale_ref[:]
 
 
@@ -1051,8 +1078,7 @@ def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
     # amplifies statistics errors by d^2/sigma^2 (measured 0.37 relative
     # with split-precision inputs on a mis-centered mixture)
     diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
-    seg = _block_selector(K, kd, dim, jnp.float32)
-    maha = _dot_sel(seg, diff * diff)         # (K, TN); EXACT, 3 bf16 passes
+    maha = _block_sum(diff * diff, K, dim)    # (K, TN); exact f32
     wk = wk_ref[:]                            # (K, 1) mixture weights
     ln = ln_ref[:]
     if student_t:
@@ -1071,7 +1097,7 @@ def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
         c = wrho * gamma
     else:
         c = wrho
-    c_exp = _dot_sel(seg.T, c)                # (KD, TN), exact
+    c_exp = _block_expand(c, K, dim)          # (KD, TN), exact
     a_mat = c_exp * diff
     g = _dotT_highest(a_mat, diff)            # (KD, KD)
 
@@ -1226,8 +1252,7 @@ def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     x_aug = jnp.concatenate(
         [x - c_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
     diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
-    seg = _block_selector(K, kd, dim, jnp.float32)
-    maha = _dot_sel(seg, diff * diff)         # (K, TN); EXACT
+    maha = _block_sum(diff * diff, K, dim)    # (K, TN); exact f32
     wk = wk_ref[:]
     if student_t:
         nu = dofc_ref[:]
@@ -1257,7 +1282,7 @@ def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
         c = wrho * gamma
     else:
         c = wrho
-    c_exp = _dot_sel(seg.T, c)
+    c_exp = _block_expand(c, K, dim)
     a_mat = c_exp * diff
     g = _dotT_highest(a_mat, diff)
 
@@ -1418,8 +1443,7 @@ def _vb_estep_kernel(x_ref, w_ref, a_ref, c_ref,
     # (responsibilities exponential in the ABSOLUTE quadratic error, and
     # the S_k mean-shift cancellation amplifies relative errors)
     diff = _dot(a_ref[:], x_aug)              # (KD, TN) whitened, centered
-    seg = _block_selector(K, kd, dim, jnp.float32)
-    maha = _dot_sel(seg, diff * diff)         # (K, TN) = nu (x-m) W (x-m); EXACT
+    maha = _block_sum(diff * diff, K, dim)    # (K, TN) = nu (x-m) W (x-m)
     ind = c_ref[:] - 0.5 * maha               # (10.46) log rho
     m = jnp.max(ind, axis=0, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(ind - m), axis=0, keepdims=True)) + m
@@ -1428,7 +1452,7 @@ def _vb_estep_kernel(x_ref, w_ref, a_ref, c_ref,
 
     w = w_ref[:]                              # (1, TN)
     wr = r * w
-    c_exp = _dot_sel(seg.T, wr)               # (KD, TN), exact
+    c_exp = _block_expand(wr, K, dim)         # (KD, TN), exact
     a_mat = c_exp * diff
     g = _dotT_highest(a_mat, diff)            # (KD, KD)
 
@@ -1612,7 +1636,7 @@ def _pad_eval_operands_blocked(dim, a2, b2, log_norm, weights, dof_col,
     return K_pad, a2, b2, log_norm, weights, dof_col, psi_c
 
 
-def _blocked_logpdfs(x_aug, a_ref, ln_ref, dof_ref, seg, *, dim, kb, nb,
+def _blocked_logpdfs(x_aug, a_ref, ln_ref, dof_ref, *, dim, kb, nb,
                      student_t, precise):
     """Per-block component log-densities from the (pre-centered) augmented
     tile ``x_aug (D+1, TN)``: returns lists of ``nb`` per-block ``(kb, TN)``
@@ -1621,12 +1645,11 @@ def _blocked_logpdfs(x_aug, a_ref, ln_ref, dof_ref, seg, *, dim, kb, nb,
     split-precision path (enough for importance weights)."""
     kbd = kb * dim
     dot = _dot if precise else _dot_val
-    red = _dot_sel if precise else _dot_acc
     mahas, inds = [], []
     for j in range(nb):
         a_j = a_ref[j * kbd:(j + 1) * kbd, :]
         diff_j = dot(a_j, x_aug)
-        maha_j = red(seg, diff_j * diff_j)
+        maha_j = _block_sum(diff_j * diff_j, kb, dim, exact=precise)
         ln_j = ln_ref[j * kb:(j + 1) * kb, :]
         if student_t:
             nu_j = dof_ref[j * kb:(j + 1) * kb, :]
@@ -1653,7 +1676,7 @@ def _streaming_weighted_lse(inds, wk_ref, kb):
 
 
 def _blocked_stats_pass(x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds,
-                        denom, w, seg, s0_ref, s0c_ref, sd_ref, gp_ref,
+                        denom, w, s0_ref, s0c_ref, sd_ref, gp_ref,
                         t1_ref, *, dim, kb, nb, student_t, dof_stats):
     """Second block pass: responsibilities, (Student-t) gamma, and ALL
     per-block sufficient statistics, accumulated into block-sliced VMEM
@@ -1672,7 +1695,7 @@ def _blocked_stats_pass(x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds,
             c_j = wrho_j
         a_j = a_ref[j * kbd:(j + 1) * kbd, :]
         diff_j = _dot(a_j, x_aug)           # recompute (cheap vs the panels)
-        c_exp_j = _dot_sel(seg.T, c_j)      # (kb*D, TN), exact
+        c_exp_j = _block_expand(c_j, kb, dim)   # (kb*D, TN), exact
         a_mat_j = c_exp_j * diff_j
         s0_ref[j * kb:(j + 1) * kb, :] += jnp.sum(wrho_j, axis=1,
                                                   keepdims=True)
@@ -1710,9 +1733,8 @@ def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
 
     x_aug = jnp.concatenate(
         [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
-    seg = _block_selector(kb, kb * dim, dim, jnp.float32)
     mahas, inds = _blocked_logpdfs(
-        x_aug, a_ref, ln_ref, dofc_ref, seg, dim=dim, kb=kb, nb=nb,
+        x_aug, a_ref, ln_ref, dofc_ref, dim=dim, kb=kb, nb=nb,
         student_t=student_t, precise=True)
     lse = _streaming_weighted_lse(inds, wk_ref, kb)
     denom = jnp.exp(lse) + tiny
@@ -1728,7 +1750,7 @@ def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
         t1_ref[:] = jnp.zeros_like(t1_ref)
 
     _blocked_stats_pass(
-        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w, seg,
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w,
         s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
         dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
     sw_ref[:] += jnp.concatenate(
@@ -1807,13 +1829,12 @@ def _vb_estep_blocked_kernel(x_ref, w_ref, a_ref, c_ref,
 
     x_aug = jnp.concatenate(
         [x_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
-    seg = _block_selector(kb, kbd, dim, jnp.float32)
 
     inds = []
     for j in range(nb):
         a_j = a_ref[j * kbd:(j + 1) * kbd, :]
         diff_j = _dot(a_j, x_aug)
-        maha_j = _dot_sel(seg, diff_j * diff_j)
+        maha_j = _block_sum(diff_j * diff_j, kb, dim)
         inds.append(c_ref[j * kb:(j + 1) * kb, :] - 0.5 * maha_j)  # (10.46)
     m = jnp.max(inds[0], axis=0, keepdims=True)
     for ind_j in inds[1:]:
@@ -1838,7 +1859,7 @@ def _vb_estep_blocked_kernel(x_ref, w_ref, a_ref, c_ref,
         wr_j = r_j * w
         a_j = a_ref[j * kbd:(j + 1) * kbd, :]
         diff_j = _dot(a_j, x_aug)
-        c_exp_j = _dot_sel(seg.T, wr_j)
+        c_exp_j = _block_expand(wr_j, kb, dim)
         a_mat_j = c_exp_j * diff_j
         s0_ref[j * kb:(j + 1) * kb, :] += jnp.sum(wr_j, axis=1, keepdims=True)
         sd_ref[j * kbd:(j + 1) * kbd, :] += jnp.sum(a_mat_j, axis=1,
@@ -1930,25 +1951,50 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     # inverse-CDF categorical; padded components (cumw == 1) are never drawn
     u = _kernel_uniform((1, tn), offset=0)
     cmp = (u >= cumw_ref[:]).astype(jnp.float32)          # (K, TN)
-    ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    mask = (ks < K - 1).astype(jnp.float32).reshape(1, K)
-    lat = _dot01(mask, cmp).astype(jnp.int32)
+    if _gather_use_matmul():
+        ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        mask = (ks < K - 1).astype(jnp.float32).reshape(1, K)
+        lat = _dot01(mask, cmp).astype(jnp.int32)
+    else:
+        lat = jnp.sum(cmp[:K - 1, :], axis=0, keepdims=True
+                      ).astype(jnp.int32)
     lat_ref[:] = lat
     onehot = _onehot_from_latent(lat, K, tn)
 
     z = _kernel_normal_rows(dim, tn)
-    seg = _block_selector(kb, kbd, dim, jnp.float32)
-    pos = _pos_selector(dim, kbd, jnp.float32)
+    if _gather_use_matmul():
+        seg = _block_selector(kb, kbd, dim, jnp.float32)
+        pos = _pos_selector(dim, kbd, jnp.float32)
     y_sel = None
     for j in range(nb):
         ct_j = ct_ref[j * kbd:(j + 1) * kbd, :]
         y_j = _dot_val(ct_j, z)
-        ohe_j = _dot01(seg.T, onehot[j * kb:(j + 1) * kb, :])
-        t = _dot_sel(pos, y_j * ohe_j)
+        if _gather_use_matmul():
+            ohe_j = _dot01(seg.T, onehot[j * kb:(j + 1) * kb, :])
+            t = _dot_sel(pos, y_j * ohe_j)
+        else:
+            # streamed slab FMAs over this block's kb components
+            t = None
+            for k in range(kb):
+                term = (y_j[k * dim:(k + 1) * dim, :]
+                        * onehot[j * kb + k:j * kb + k + 1, :])
+                t = term if t is None else t + term
         y_sel = t if y_sel is None else y_sel + t
-    mu_sel = _dot_selr(mu_ref[:], onehot)
+    if _gather_use_matmul():
+        mu_sel = _dot_selr(mu_ref[:], onehot)
+    else:
+        mu_sel = None
+        for k in range(K):
+            term = mu_ref[:, k:k + 1] * onehot[k:k + 1, :]
+            mu_sel = term if mu_sel is None else mu_sel + term
     if student_t:
-        dof_sel = _dot_selr(dof_row_ref[:], onehot)
+        if _gather_use_matmul():
+            dof_sel = _dot_selr(dof_row_ref[:], onehot)
+        else:
+            dof_sel = None
+            for k in range(K):
+                term = dof_row_ref[:, k:k + 1] * onehot[k:k + 1, :]
+                dof_sel = term if dof_sel is None else dof_sel + term
         dof8 = _rows8(dof_sel)
         log_chi2 = _kernel_log_chi2(dof8)
         scale8 = jnp.exp(0.5 * (jnp.log(dof8) - log_chi2))
@@ -1961,7 +2007,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     x_aug = jnp.concatenate(
         [x - c_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
     mahas, inds = _blocked_logpdfs(
-        x_aug, a_ref, ln_ref, dofc_ref, seg, dim=dim, kb=kb, nb=nb,
+        x_aug, a_ref, ln_ref, dofc_ref, dim=dim, kb=kb, nb=nb,
         student_t=student_t, precise=True)
     lse = _streaming_weighted_lse(inds, wk_ref, kb)
     denom = jnp.exp(lse) + tiny
@@ -1970,7 +2016,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     xt_aug = jnp.concatenate(
         [x - tc_ref[:], jnp.full((1, tn), -1.0, dtype=jnp.float32)], axis=0)
     _, t_inds = _blocked_logpdfs(
-        xt_aug, ta_ref, tln_ref, tdof_ref, seg, dim=dim, kb=kb, nb=nbt,
+        xt_aug, ta_ref, tln_ref, tdof_ref, dim=dim, kb=kb, nb=nbt,
         student_t=t_student_t, precise=False)
     logp = _streaming_weighted_lse(t_inds, tw_ref, kb)
     gidx = pl.program_id(0) * tn + jax.lax.broadcasted_iota(
@@ -1989,7 +2035,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
         t1_ref[:] = jnp.zeros_like(t1_ref)
 
     _blocked_stats_pass(
-        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w, seg,
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w,
         s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
         dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
     wlogw = jnp.where(w > 0, w * jnp.log(jnp.where(w > 0, w, 1.0)), 0.0)
