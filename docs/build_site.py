@@ -36,6 +36,7 @@ PAGES = [
     ("README.md", "index.html"),
     ("docs/user_guide.md", "user_guide.html"),
     ("docs/parity_map.md", "parity_map.html"),
+    ("STATUS.md", "status.html"),
     ("docs/references.md", "references.html"),
     ("BENCHMARKS.md", "benchmarks.html"),
     ("docs/api/README.md", "api/index.html"),
@@ -133,6 +134,12 @@ def check(pages_md, ref_keys):
                                     % (src, norm, frag))
             elif not os.path.exists(os.path.join(REPO, norm)):
                 problems.append("%s: broken link %s" % (src, target))
+            elif norm.endswith(".md"):
+                # an .md link to a repo file OUTSIDE the site would render
+                # as a dead link in the deployed site -- add it to PAGES
+                problems.append("%s: link %s targets a markdown file not "
+                                "in the rendered site (add it to PAGES)"
+                                % (src, target))
         for key in set(_CITE_RE.findall(stripped)):
             if key not in ref_keys:
                 problems.append("%s: citation [%s] not in docs/references.md"

@@ -137,11 +137,12 @@ def main():
     args = ap.parse_args()
 
     docs_api = os.path.join(os.path.dirname(os.path.abspath(__file__)), "api")
+    cleanup_dir = None
     if args.check:
         import filecmp
         import tempfile
 
-        out_dir = tempfile.mkdtemp(prefix="gen_api_check_")
+        out_dir = cleanup_dir = tempfile.mkdtemp(prefix="gen_api_check_")
     else:
         out_dir = docs_api
     os.makedirs(out_dir, exist_ok=True)
@@ -170,13 +171,19 @@ def main():
     print("wrote docs/api/README.md")
 
     if args.check:
-        stale = []
-        for fn in sorted(os.listdir(out_dir)):
-            current = os.path.join(docs_api, fn)
-            if not os.path.exists(current) or not filecmp.cmp(
-                    os.path.join(out_dir, fn), current, shallow=False):
-                stale.append(fn)
-        extra = sorted(set(os.listdir(docs_api)) - set(os.listdir(out_dir)))
+        import shutil
+
+        try:
+            stale = []
+            for fn in sorted(os.listdir(out_dir)):
+                current = os.path.join(docs_api, fn)
+                if not os.path.exists(current) or not filecmp.cmp(
+                        os.path.join(out_dir, fn), current, shallow=False):
+                    stale.append(fn)
+            extra = sorted(
+                set(os.listdir(docs_api)) - set(os.listdir(out_dir)))
+        finally:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
         if stale or extra:
             print("STALE docs/api (rerun python docs/gen_api.py): %s"
                   % ", ".join(stale + ["extra:" + e for e in extra]))

@@ -35,19 +35,24 @@ def is_primary_process():
     would write the same checkpoint path concurrently."""
     try:
         import jax
+    except Exception:
+        return True
+    # only consult the process topology if backends are already up --
+    # asking earlier would force backend initialization at save time.  The
+    # probe uses private API; if it ever disappears, fall back to ASKING
+    # (which may initialize a backend) rather than silently disabling the
+    # gating this function exists for.
+    try:
         from jax._src import xla_bridge
 
-        # only consult the process topology if backends are already up --
-        # asking earlier would force backend initialization at import time
-        if (
-            xla_bridge.backends_are_initialized()
-            and jax.process_count() > 1
-            and jax.process_index() != 0
-        ):
-            return False
+        if not xla_bridge.backends_are_initialized():
+            return True
     except Exception:
         pass
-    return True
+    try:
+        return jax.process_count() <= 1 or jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def atomic_savez(path, **arrays):

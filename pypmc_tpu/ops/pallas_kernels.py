@@ -476,7 +476,11 @@ def _sincos_2pi(u):
 
 def _bm_use_trig():
     """``PYPMC_TPU_NORMAL=trig`` selects the jnp.sin/cos Box-Muller halves
-    (kept for A/B measurement); default is the polynomial fold."""
+    (kept for A/B measurement); default is the polynomial fold.
+
+    Read at TRACE time: jit caches do not key on the environment, so run
+    each variant in a FRESH process -- flipping the variable mid-process
+    silently reuses whichever variant was compiled first."""
     import os
 
     return os.environ.get("PYPMC_TPU_NORMAL") == "trig"
@@ -484,8 +488,12 @@ def _bm_use_trig():
 
 def _gather_use_matmul():
     """``PYPMC_TPU_GATHER=matmul`` selects the selector-matmul one-hot
-    gather in the propose tile (kept for A/B measurement); default is the
-    streamed slab-FMA form."""
+    gathers / block reductions (kept for A/B measurement); default is the
+    streamed slab-FMA / sublane-reduction forms.
+
+    Read at TRACE time: jit caches do not key on the environment, so run
+    each variant in a FRESH process (as ``benchmarks/propose_layout_ab.py``
+    documents for its own toggle)."""
     import os
 
     return os.environ.get("PYPMC_TPU_GATHER") == "matmul"
@@ -2296,6 +2304,16 @@ def fused_mcmc_pool(seed, x0T, e0, cholr, dof_prop, target, *, n_steps, dim):
     C = x0T.shape[1]
     kt = target[0].shape[0] // dim
     student_t_prop = dof_prop is not None
+    # enforce the VMEM precondition HERE, not only in
+    # sample_adaptive_chains: pick_chain_block floors the block at the
+    # lane quantum, so an unchecked oversized pool would overcommit VMEM
+    # and die in an opaque Mosaic allocation failure
+    if not fits_vmem_mcmc(dim, kt, n_steps, student_t_prop):
+        raise ValueError(
+            "fused_mcmc_pool does not fit the VMEM budget at D=%d with a "
+            "%d-component target (student_t_prop=%s); use the XLA scan "
+            "pool (sample_adaptive_chains falls back automatically)"
+            % (dim, kt, student_t_prop))
     # step-chunk dividing n_steps (out chunks must tile evenly); see
     # :func:`mcmc_step_chunk` for the cap and its env override
     sc = mcmc_step_chunk(n_steps, dim)

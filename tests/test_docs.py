@@ -25,6 +25,9 @@ def test_site_builds_and_all_links_resolve(tmp_path):
     """The full site renders and every intra-doc link, heading anchor,
     citation key (docs AND package docstrings) and user-guide API path
     resolves."""
+    pytest.importorskip(
+        "markdown", reason="site rendering needs the markdown package "
+        "(a test extra); the link CHECK below runs without it")
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "docs", "build_site.py"),
          "--out", str(tmp_path / "site")],
