@@ -264,6 +264,36 @@ def test_fused_pmc_stats_sums():
                        rtol=1e-3, atol=1e-3)
 
 
+def test_fused_pmc_stats_matmul_gather_equivalent(monkeypatch):
+    """The selector-matmul statistics forms (``PYPMC_TPU_GATHER=matmul``)
+    must stay equivalent to the streamed defaults (same inputs, jit caches
+    cleared between modes -- the flag is read at trace time)."""
+    from pypmc_tpu.ops.pallas_kernels import fused_pmc_stats
+
+    n = 1536
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 2, size=(n, D)).astype(np.float32)
+    w = np.abs(rng.normal(1.0, 0.3, size=n)).astype(np.float32)
+    params = make_params(True)
+    a2, b2, log_norm, wk, dof_col, _ = core._pallas_operands(params, "inv_chol")
+    psi_c = jax.scipy.special.digamma(0.5 * (D + params.dof)).reshape(K, 1)
+
+    def run():
+        jax.clear_caches()
+        return {k: np.asarray(v) for k, v in fused_pmc_stats(
+            jnp.asarray(x.T.copy()), jnp.asarray(w), a2, b2, log_norm, wk,
+            dof_col, psi_c.astype(jnp.float32), dim=D,
+            dof_stats=True).items()}
+
+    monkeypatch.setenv("PYPMC_TPU_GATHER", "matmul")
+    s_m = run()
+    monkeypatch.delenv("PYPMC_TPU_GATHER")
+    s_s = run()
+    for key in s_s:
+        np.testing.assert_allclose(s_m[key], s_s[key], rtol=2e-4, atol=2e-4,
+                                   err_msg=key)
+
+
 def test_fused_vb_estep_matches_plain():
     """Fused VB E-step statistics and the in-kernel log_q_Z reduction must
     match the plain XLA E-step (and the bound computed from either)."""

@@ -152,6 +152,34 @@ def test_propose_logq_matches_xla_eval(xla_reference):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_propose_logq_matmul_gather_matches_streamed(monkeypatch):
+    """The selector-matmul gather/block-sum forms (``PYPMC_TPU_GATHER=
+    matmul``, kept for A/B measurement) must stay equivalent to the
+    default streamed forms -- without a suite check the A/B baseline rots
+    silently.  The flag is read at trace time, so the jit caches are
+    cleared between the two modes; the interpret-mode software PRNG then
+    draws the SAME samples in both, making the comparison exact up to the
+    matmul forms' 2^-16 split precision."""
+    params, *_ = make_t_mixture(K=5, D=3, student_t=True)
+    tparams, *_ = make_t_mixture(K=2, D=3, seed=7, student_t=False)
+    N = 4096
+
+    def run():
+        jax.clear_caches()
+        return [np.asarray(o) for o in core.propose_logq_T(
+            params, jax.random.PRNGKey(42), N, tparams)]
+
+    monkeypatch.setenv("PYPMC_TPU_GATHER", "matmul")
+    xT_m, lat_m, logq_m, logp_m = run()
+    monkeypatch.delenv("PYPMC_TPU_GATHER")
+    xT_s, lat_s, logq_s, logp_s = run()
+
+    np.testing.assert_array_equal(lat_m, lat_s)
+    np.testing.assert_allclose(xT_m, xT_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(logq_m, logq_s, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(logp_m, logp_s, rtol=1e-3, atol=1e-3)
+
+
 def test_propose_logq_student_t_moments():
     """Per-component sample moments of the Student-t draw (exercises the
     in-kernel Marsaglia-Tsang chi-square in the 8-row layout)."""
