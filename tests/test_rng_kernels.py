@@ -180,6 +180,34 @@ def test_propose_logq_matmul_gather_matches_streamed(monkeypatch):
     np.testing.assert_allclose(logp_m, logp_s, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("K,D", [(1, 1), (1, 5), (2, 1), (7, 2), (3, 16)])
+def test_propose_logq_shape_edges(K, D):
+    """Edge shapes through the fused propose+eval kernel: single-component
+    mixtures (the inverse-CDF latent sum reduces over ZERO rows), D=1,
+    non-8-multiple D, and an odd N that exercises lane padding.  Each
+    case pins log-q against the XLA evaluation of the drawn samples and
+    the latent distribution against the mixture weights."""
+    rng = np.random.default_rng(K * 100 + D)
+    means = rng.normal(0, 2, (K, D))
+    a = rng.normal(0, 0.2, (K, D, D))
+    covs = np.eye(D)[None] * 1.2 + np.einsum("kij,klj->kil", a, a)
+    w = None if K == 1 else rng.dirichlet(np.full(K, 5.0))
+    params, valid = core.make_mixture(means, covs, w)
+    assert bool(np.asarray(valid).all())
+    N = 4097  # odd: exercises the lane-padding path
+    out = core.propose_logq_T(params, jax.random.PRNGKey(5), N)
+    xT, lat, logq = [np.asarray(o) for o in out]
+    assert xT.shape == (D, N) and lat.shape == (N,) and logq.shape == (N,)
+    assert np.isfinite(xT).all() and np.isfinite(logq).all()
+    assert ((lat >= 0) & (lat < K)).all()
+    logq_ref = np.asarray(core.mixture_logpdf_T(params, jnp.asarray(xT)))
+    np.testing.assert_allclose(logq, logq_ref, rtol=2e-3, atol=2e-3)
+    if K > 1:
+        counts = np.bincount(lat, minlength=K) / N
+        np.testing.assert_allclose(counts, np.asarray(params.weights),
+                                   atol=4 * np.sqrt(0.25 / N) + 0.02)
+
+
 def test_propose_logq_student_t_moments():
     """Per-component sample moments of the Student-t draw (exercises the
     in-kernel Marsaglia-Tsang chi-square in the 8-row layout)."""
