@@ -60,8 +60,13 @@ def calculate_rho_rb_T(params: _core.MixtureParams, samples_T) -> jax.Array:
         return rho
     logpdfs = _core.component_logpdfs(params, samples_T.T)  # (N, K)
     log_denom = logsumexp(logpdfs, params.weights, axis=-1)
-    t = tiny(log_denom.dtype)
-    rho = jnp.exp(logpdfs) * params.weights[None, :] / (jnp.exp(log_denom)[:, None] + t)
+    # LOG-SPACE ratio: the reference's linear form exp(l)*w/(exp(L)+tiny)
+    # (pmc.pyx:37-41) underflows BOTH sides for any sample with mixture
+    # log-density below the dtype's exp range (~-87 in float32 -- routine
+    # at D >= 20), silently dropping it from the statistics; exp(l - L)*w
+    # is the same quantity, exact in the ratio, and needs no tiny
+    # (log_denom is finite whenever any component weight is positive)
+    rho = jnp.exp(logpdfs - log_denom[:, None]) * params.weights[None, :]
     return jnp.where(params.weights[None, :] > 0, rho, 0.0).T
 
 
@@ -607,21 +612,8 @@ class PMC(object):
 
     def __init__(self, samples, density, weights=None, latent=None, rb=True,
                  mincount=0, **kwargs):
-        if weights is not None:
-            self.weights = _np.asarray(weights)
-            assert len(self.weights.shape) == 1, "expected a 1-D weight vector"
-            assert len(self.weights) == len(samples), (
-                "weight count %s != sample count %s"
-                % (len(self.weights), len(samples))
-            )
-        else:
-            self.weights = None
-
-        if latent is None:
-            if mincount > 0:
-                raise ValueError("mincount requires latent component indices; pass latent= or set mincount=0")
-            if not rb:
-                raise ValueError("non-Rao-Blackwellized updates need latent component indices; pass latent= or keep rb=True")
+        # same validation as the functional updates (single source)
+        self.weights = _check_pmc_args(samples, weights, latent, mincount, rb)
 
         error_wrong_mixture = (
             "``density`` must be a ``pypmc_tpu.density.mixture.MixtureDensity`` "
@@ -630,11 +622,7 @@ class PMC(object):
         )
         if not isinstance(density, MixtureDensity):
             raise TypeError(error_wrong_mixture)
-        if density.kind == "gauss":
-            self.pmc = gaussian_pmc
-        elif density.kind == "student_t":
-            self.pmc = student_t_pmc
-        else:
+        if density.kind not in ("gauss", "student_t"):
             raise TypeError(error_wrong_mixture)
         for component in density.components:
             if not isinstance(component, (Gauss, StudentT)):
@@ -653,8 +641,13 @@ class PMC(object):
         if self.weights is not None:
             self.normalized_weights = self.weights / self.weights.sum()
             self._normalized_weights_dev = jnp.asarray(self.normalized_weights)
+            # raw weights stay on device too: _update_once runs up to
+            # ~1000 iterations and re-uploading O(N) floats each time is
+            # a fresh host->device transfer per iteration
+            self._weights_dev = jnp.asarray(self.weights)
         else:
             self._normalized_weights_dev = None
+            self._weights_dev = None
 
     def log_likelihood(self):
         """Log likelihood of the current density, eq. (5) in [Cap+08]."""
@@ -677,7 +670,7 @@ class PMC(object):
         result = pmc_update(
             params,
             self._samples_T_dev,
-            None if self.weights is None else jnp.asarray(self.weights),
+            self._weights_dev,
             self._latent_dev,
             rb=self.rb,
             mincount=int(self.mincount),

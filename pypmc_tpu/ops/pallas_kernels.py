@@ -314,14 +314,19 @@ def _logq_kernel(x_ref, c_ref, a_ref, ln_ref, w_ref, dof_ref, out_ref, *,
 
 
 def _rho_kernel(x_ref, c_ref, a_ref, ln_ref, w_ref, dof_ref,
-                rho_ref, logq_ref, *, dim, student_t, tiny):
+                rho_ref, logq_ref, *, dim, student_t):
     dof = dof_ref[:] if student_t else None
     w = w_ref[:]
     ind = _component_logpdfs_tile(x_ref[:], c_ref[:], a_ref[:], ln_ref[:],
                                   dof, dim)
     lse = _weighted_lse(ind, w)
-    # reference formula (pmc.pyx:37-41): exp(ind) * w / (exp(lse) + tiny)
-    rho = jnp.exp(ind) * w / (jnp.exp(lse) + tiny)
+    # reference semantics (pmc.pyx:37-41) computed IN LOG SPACE: the
+    # linear form exp(ind)*w/(exp(lse)+tiny) underflows both sides for
+    # samples with mixture log-density below ~-87 in float32 (routine at
+    # D >= 20), silently dropping them from the statistics; exp(ind-lse)
+    # is the same ratio, exact, and needs no tiny (lse is finite whenever
+    # any component weight is positive)
+    rho = jnp.exp(ind - lse) * w
     rho_ref[:] = jnp.where(w > 0, rho, 0.0)
     logq_ref[:] = lse
 
@@ -822,11 +827,10 @@ def fused_rho(xT, a2, b2, log_norm, weights, dof, center=None, *, dim):
     student_t = dof is not None
     if dof is None:
         dof = jnp.zeros((K, 1), dtype=xT.dtype)
-    tiny = float(jnp.finfo(xT.dtype).tiny)
     c = _center_or_zero(center, dim, xT.dtype)
 
     rho, logq = pl.pallas_call(
-        functools.partial(_rho_kernel, dim=dim, student_t=student_t, tiny=tiny),
+        functools.partial(_rho_kernel, dim=dim, student_t=student_t),
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
@@ -1056,7 +1060,7 @@ def _dotT_highest(x, y):
 
 def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
                       s0_ref, s0c_ref, sd_ref, g_ref, sw_ref, t1_ref, *,
-                      dim, student_t, dof_stats, tiny):
+                      dim, student_t, dof_stats):
     """One pass over a particle tile producing ALL PMC sufficient
     statistics, accumulated in VMEM across grid steps.
 
@@ -1095,7 +1099,7 @@ def _pmc_stats_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref, psi_ref,
     else:
         ind = ln - 0.5 * maha
     lse = _weighted_lse(ind, wk)
-    rho = jnp.exp(ind) * wk / (jnp.exp(lse) + tiny)
+    rho = jnp.exp(ind - lse) * wk             # log-space: f32-safe ratio
     rho = jnp.where(wk > 0, rho, 0.0)         # (K, TN)
 
     w = w_ref[:]                              # (1, TN)
@@ -1168,13 +1172,12 @@ def fused_pmc_stats(xT, w, a2, b2, log_norm, weights, dof_col, psi_c=None, *,
         dof_col = jnp.ones((K, 1), dtype=dtype)
     if psi_c is None:
         psi_c = jnp.zeros((K, 1), dtype=dtype)
-    tiny_v = float(jnp.finfo(dtype).tiny)
 
     zero_map = lambda i: (0, 0)
     acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
     s0, s0c, sd, g, sw, t1 = pl.pallas_call(
         functools.partial(_pmc_stats_kernel, dim=dim, student_t=student_t,
-                          dof_stats=dof_stats, tiny=tiny_v),
+                          dof_stats=dof_stats),
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
@@ -1216,7 +1219,7 @@ def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
                    tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
                    x_ref, lat_ref, w_ref,
                    s0_ref, s0c_ref, sd_ref, g_ref, sw_ref, t1_ref, *,
-                   dim, n_comp, student_t, t_student_t, dof_stats, tiny,
+                   dim, n_comp, student_t, t_student_t, dof_stats,
                    n_orig):
     """The ENTIRE (M-)PMC training step's particle work in one kernel:
     draw the component (inverse-CDF on the hardware PRNG), draw the sample
@@ -1268,7 +1271,7 @@ def _is_pmc_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     else:
         ind = ln_ref[:] - 0.5 * maha
     lse = _weighted_lse(ind, wk)              # log q
-    rho = jnp.exp(ind) * wk / (jnp.exp(lse) + tiny)
+    rho = jnp.exp(ind - lse) * wk             # log-space: f32-safe ratio
     rho = jnp.where(wk > 0, rho, 0.0)
 
     # ---- target evaluation + importance weights ---------------------- #
@@ -1359,7 +1362,6 @@ def fused_is_pmc_step(seed, cumw, ct2, mu2, dof_row,
     t_student_t = tdof is not None
     if tdof is None:
         tdof = jnp.ones((kt, 1), dtype=dtype)
-    tiny_v = float(jnp.finfo(dtype).tiny)
 
     zero_map = lambda i: (0, 0)
     acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
@@ -1396,7 +1398,7 @@ def fused_is_pmc_step(seed, cumw, ct2, mu2, dof_row,
     x, lat, w, s0, s0c, sd, g, sw, t1 = pl.pallas_call(
         functools.partial(_is_pmc_kernel, dim=dim, n_comp=K,
                           student_t=student_t, t_student_t=t_student_t,
-                          dof_stats=dof_stats, tiny=tiny_v, n_orig=n),
+                          dof_stats=dof_stats, n_orig=n),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1684,7 +1686,7 @@ def _streaming_weighted_lse(inds, wk_ref, kb):
 
 
 def _blocked_stats_pass(x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds,
-                        denom, w, s0_ref, s0c_ref, sd_ref, gp_ref,
+                        lse, w, s0_ref, s0c_ref, sd_ref, gp_ref,
                         t1_ref, *, dim, kb, nb, student_t, dof_stats):
     """Second block pass: responsibilities, (Student-t) gamma, and ALL
     per-block sufficient statistics, accumulated into block-sliced VMEM
@@ -1693,7 +1695,7 @@ def _blocked_stats_pass(x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds,
     kbd = kb * dim
     for j in range(nb):
         wk_j = wk_ref[j * kb:(j + 1) * kb, :]
-        rho_j = jnp.where(wk_j > 0, jnp.exp(inds[j]) * wk_j / denom, 0.0)
+        rho_j = jnp.where(wk_j > 0, jnp.exp(inds[j] - lse) * wk_j, 0.0)
         wrho_j = rho_j * w
         if student_t:
             nu_j = dofc_ref[j * kb:(j + 1) * kb, :]
@@ -1730,7 +1732,7 @@ def _gram_panels_to_blocks(gp, K_pad, dim, kb):
 def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
                               psi_ref, s0_ref, s0c_ref, sd_ref, gp_ref,
                               sw_ref, t1_ref, *, dim, kb, student_t,
-                              dof_stats, tiny):
+                              dof_stats):
     """K-blocked variant of :func:`_pmc_stats_kernel` (same statistics, same
     reference semantics) -- see the section comment for the blocking
     scheme."""
@@ -1745,7 +1747,6 @@ def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
         x_aug, a_ref, ln_ref, dofc_ref, dim=dim, kb=kb, nb=nb,
         student_t=student_t, precise=True)
     lse = _streaming_weighted_lse(inds, wk_ref, kb)
-    denom = jnp.exp(lse) + tiny
     w = w_ref[:]
 
     @pl.when(pl.program_id(0) == 0)
@@ -1758,7 +1759,7 @@ def _pmc_stats_blocked_kernel(x_ref, w_ref, a_ref, ln_ref, wk_ref, dofc_ref,
         t1_ref[:] = jnp.zeros_like(t1_ref)
 
     _blocked_stats_pass(
-        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w,
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, lse, w,
         s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
         dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
     sw_ref[:] += jnp.concatenate(
@@ -1788,14 +1789,12 @@ def fused_pmc_stats_blocked(xT, w, a2, b2, log_norm, weights, dof_col,
     xT, _ = _pad_lanes(xT, tile)
     w2, _ = _pad_lanes(w[None, :], tile)      # zero padding: no contribution
     grid = xT.shape[1] // tile
-    tiny_v = float(jnp.finfo(dtype).tiny)
 
     zero_map = lambda i: (0, 0)
     acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
     s0, s0c, sd, gp, sw, t1 = pl.pallas_call(
         functools.partial(_pmc_stats_blocked_kernel, dim=dim, kb=kb,
-                          student_t=student_t, dof_stats=dof_stats,
-                          tiny=tiny_v),
+                          student_t=student_t, dof_stats=dof_stats),
         grid=(grid,),
         in_specs=[
             _lane_spec(dim, tile),
@@ -1940,7 +1939,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
                            tc_ref, ta_ref, tln_ref, tw_ref, tdof_ref,
                            x_ref, lat_ref, w_ref,
                            s0_ref, s0c_ref, sd_ref, gp_ref, sw_ref, t1_ref, *,
-                           dim, kb, student_t, t_student_t, dof_stats, tiny,
+                           dim, kb, student_t, t_student_t, dof_stats,
                            n_orig):
     """K-blocked variant of :func:`_is_pmc_kernel`: the whole (M-)PMC
     training step's particle work in one kernel, fused for mixtures far
@@ -2018,7 +2017,6 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
         x_aug, a_ref, ln_ref, dofc_ref, dim=dim, kb=kb, nb=nb,
         student_t=student_t, precise=True)
     lse = _streaming_weighted_lse(inds, wk_ref, kb)
-    denom = jnp.exp(lse) + tiny
 
     # ---- target evaluation (split precision) + importance weights ----- #
     xt_aug = jnp.concatenate(
@@ -2043,7 +2041,7 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
         t1_ref[:] = jnp.zeros_like(t1_ref)
 
     _blocked_stats_pass(
-        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, denom, w,
+        x_aug, a_ref, wk_ref, dofc_ref, psi_ref, mahas, inds, lse, w,
         s0_ref, s0c_ref, sd_ref, gp_ref, t1_ref,
         dim=dim, kb=kb, nb=nb, student_t=student_t, dof_stats=dof_stats)
     wlogw = jnp.where(w > 0, w * jnp.log(jnp.where(w > 0, w, 1.0)), 0.0)
@@ -2088,7 +2086,6 @@ def fused_is_pmc_step_blocked(seed, cumw, ct2, mu2, dof_row,
     n_pad = (n + tile - 1) // tile * tile
     grid = n_pad // tile
     seed = _seed2(seed)
-    tiny_v = float(jnp.finfo(dtype).tiny)
 
     zero_map = lambda i: (0, 0)
     acc = lambda shape: pl.BlockSpec(shape, zero_map, memory_space=pltpu.VMEM)
@@ -2126,7 +2123,7 @@ def fused_is_pmc_step_blocked(seed, cumw, ct2, mu2, dof_row,
     x, lat, w, s0, s0c, sd, gp, sw, t1 = pl.pallas_call(
         functools.partial(_is_pmc_blocked_kernel, dim=dim, kb=kb,
                           student_t=student_t, t_student_t=t_student_t,
-                          dof_stats=dof_stats, tiny=tiny_v, n_orig=n),
+                          dof_stats=dof_stats, n_orig=n),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -45,6 +45,8 @@ _STEP_CACHE_MAX = 32
 
 
 def _step_cache_get(key):
+    if key is None:
+        return None
     step = _STEP_CACHE.get(key)
     if step is not None:
         _STEP_CACHE.move_to_end(key)
@@ -52,6 +54,8 @@ def _step_cache_get(key):
 
 
 def _step_cache_put(key, step):
+    if key is None:
+        return
     _STEP_CACHE[key] = step
     _STEP_CACHE.move_to_end(key)
     while len(_STEP_CACHE) > _STEP_CACHE_MAX:
@@ -99,6 +103,13 @@ def _target_token(target):
     if isinstance(target, _core.MixtureParams):
         token = ("mixture_target", target.K, target.dim, target.is_student_t)
         return token, target, lambda tp: tp
+    try:
+        hash(target)
+    except TypeError:
+        # an unhashable callable (e.g. a dataclass with eq=True) cannot be
+        # a cache key; id() would risk serving a STALE step after id reuse,
+        # so such targets simply skip the cache (token None)
+        return None, (), lambda tp: target
     return target, (), lambda tp: target
 
 
@@ -128,7 +139,8 @@ def run_is_step_sharded(params, target, key, n_total, mesh=None,
             n_total, n_dev, n_local * n_dev)
 
     token, tp, target_of = _target_token(target)
-    cache_key = ("is_step", token, mesh, n_local, axis_name)
+    cache_key = (None if token is None
+                 else ("is_step", token, mesh, n_local, axis_name))
     step = _step_cache_get(cache_key)
     if step is None:
         # check_vma=False: the Pallas kernels' out_shape carries no
@@ -227,10 +239,11 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
         # replicate target params onto the mesh like the mixture itself
         # (avoids a second remote compile for host-resident inputs)
         tp = jax.device_put(tp, jax.sharding.NamedSharding(mesh, P()))
-    cache_key = ("pmc_step", token, mesh, n_local, rb, dof_solver_steps,
-                 mindof, maxdof, axis_name, is_t, bool(scan_steps),
-                 n_steps if scan_steps else None, bool(compute_log_likelihood),
-                 bool(weight_clip))
+    cache_key = (None if token is None else (
+        "pmc_step", token, mesh, n_local, rb, dof_solver_steps,
+        mindof, maxdof, axis_name, is_t, bool(scan_steps),
+        n_steps if scan_steps else None, bool(compute_log_likelihood),
+        bool(weight_clip)))
 
     # a MIXTURE target (MixtureParams) runs the ENTIRE per-shard step --
     # propose, both evaluations, weights, responsibilities, statistics --
@@ -265,6 +278,9 @@ def pmc_run_sharded(target, params, n_total, n_steps, mesh=None, key=None,
                         n_global, weights.dtype)))
             result = pmc_update(
                 params, samples_T, w_adapt,
+                # the non-Rao-Blackwellized update needs the generating
+                # component indices (one-hot responsibilities)
+                latent=None if rb else latent,
                 rb=rb,
                 dof_solver_steps=dof_solver_steps if is_t else 0,
                 mindof=mindof, maxdof=maxdof,
@@ -439,13 +455,30 @@ class ParallelSampler(object):
         for samples_T, weights, run_params in self._device_pending:
             n = samples_T.shape[1]
             self.samples.append(n)[:] = self._to_host(samples_T).T
-            self.weights.append(n)[:, 0] = self._to_host(weights)
+            w_host = self._to_host(weights)
+            self.weights.append(n)[:, 0] = w_host
             if self.target_values is not None:
                 log_q = self._to_host(
                     _core.mixture_logpdf_T(run_params, samples_T))
-                self.target_values.append(n)[:, 0] = (
-                    _np.log(self.weights[-1][:, 0]) + log_q
-                )
+                with _np.errstate(divide="ignore"):
+                    tv = _np.log(w_host) + log_q
+                # a float32 weight that underflowed to exactly 0 loses the
+                # finite log P it came from; recompute the target at those
+                # few points so the stored values honor the "log P at
+                # every visited point" contract (ImportanceSampler stores
+                # the exact log P directly)
+                bad = _np.flatnonzero(w_host == 0)
+                if bad.size:
+                    xs_bad = jnp.asarray(self.samples[-1][bad].T)
+                    if isinstance(self.target, _core.MixtureParams):
+                        tv[bad] = _np.asarray(
+                            _core.mixture_logpdf_T(self.target, xs_bad))
+                    else:
+                        from ..sampler._target import evaluate_target_T
+
+                        tv[bad] = _np.asarray(
+                            evaluate_target_T(self.target, xs_bad))
+                self.target_values.append(n)[:, 0] = tv
             flushed += 1
         self._device_pending = []
         return flushed

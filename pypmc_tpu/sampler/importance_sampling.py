@@ -120,6 +120,7 @@ class ImportanceSampler(object):
             self._numpy_rng = rng
         self._key = key
         self._step = None  # compiled device step, built lazily
+        self._target_not_jittable = False  # set on first failed trace
         # device-resident runs not yet flushed to the host Histories:
         # (samples_T (D, n), weights (n,), log_p (n,) or None)
         self._device_pending = []
@@ -196,6 +197,7 @@ class ImportanceSampler(object):
 
         use_device = (
             self._numpy_rng is None
+            and not self._target_not_jittable
             and isinstance(self.proposal, MixtureDensity)
             and self.proposal.kind != "generic"
         )
@@ -205,9 +207,12 @@ class ImportanceSampler(object):
             params = self.proposal.stacked_params()
             try:
                 samples_T, latent, weights, log_p = self._step(params, self._next_key(), int(N))
-            except jax.errors.TracerArrayConversionError:
-                use_device = False
-            except jax.errors.ConcretizationTypeError:
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # a non-jittable target fails the SAME way every time;
+                # remember it so later runs skip the full doomed re-trace
+                # (failed traces are not cached by jax)
+                self._target_not_jittable = True
                 use_device = False
         if not use_device:
             return self._run_host(N, trace_sort)
@@ -232,12 +237,14 @@ class ImportanceSampler(object):
         else:
             origin = None
             this_samples = self.proposal.propose(N, rng)
-        this_weights = self.weights.append(N)[:, 0]
         log_q = _np.asarray(self.proposal.multi_evaluate(_np.asarray(this_samples)))
         targets = _np.empty(N)
         for i in range(N):
             targets[i] = float(self.target(this_samples[i]))
-        this_weights[:] = _np.exp(targets - log_q)
+        # append the Histories only AFTER the (user) target evaluated on
+        # every sample: an exception mid-loop must not leave a garbage
+        # weights run without its samples run (permanently out of sync)
+        self.weights.append(N)[:, 0] = _np.exp(targets - log_q)
         self.samples.append(N)[:] = this_samples
         if self.target_values is not None:
             self.target_values.append(N)[:, 0] = targets
@@ -307,19 +314,10 @@ def _stacked_proposal_params(proposals):
     return None
 
 
-def _all_proposal_log_q(y, proposals, params):
-    """``(N_t, T)`` log-densities of ONE run's samples under ALL proposals.
-
-    With stacked mixture parameters the samples are uploaded ONCE
-    (transposed, the native layout) and every proposal is evaluated
-    on-device through the fused mixture kernel -- no per-(run, proposal)
-    host round trips (the reference loops T*T numpy evaluations,
-    ``importance_sampling.py:238-371``).
-    """
-    if params is not None:
-        yT = jnp.asarray(y).T
-        return jnp.stack(
-            [_core.mixture_logpdf_T(p, yT) for p in params], axis=-1)
+def _all_proposal_log_q(y, proposals):
+    """``(N_t, T)`` log-densities of ONE run's samples under ALL proposals
+    (host fallback for generic proposals; stacked mixture proposals take
+    the device path through :func:`_combine_one_run_device` instead)."""
     return jnp.asarray(_np.column_stack(
         [_np.asarray(p.multi_evaluate(_np.asarray(y))) for p in proposals]))
 
@@ -374,7 +372,7 @@ def _combine_weights_log(samples, weights, proposals, history, N_total, N):
     else:
         for t in range(len(proposals)):
             combined = history.append(N[t])
-            q = _all_proposal_log_q(samples[t], proposals, params)
+            q = _all_proposal_log_q(samples[t], proposals)
             n_arr = jnp.asarray(N, dtype=q.dtype)
             log_w_t = (jnp.log(jnp.asarray(weights[t], dtype=q.dtype))
                        + q[:, t] + jnp.log(jnp.asarray(N_total, dtype=q.dtype))
@@ -394,7 +392,7 @@ def _combine_weights_linear(samples, weights, proposals, history, N_total, N):
                                        N, params, linear=True)
     for t in range(len(proposals)):
         combined = history.append(N[t])
-        q = _all_proposal_log_q(samples[t], proposals, params)
+        q = _all_proposal_log_q(samples[t], proposals)
         n_arr = jnp.asarray(N, dtype=q.dtype)
         denominator = jnp.einsum("l,nl->n", n_arr / N_total, jnp.exp(q))
         numerator = (jnp.exp(q[:, t])

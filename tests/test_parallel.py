@@ -483,6 +483,22 @@ class TestNonDivisibleN:
         assert np.isfinite(np.asarray(stats.ess)).all()
         assert np.isfinite(np.asarray(out_params.means)).all()
 
+    def test_pmc_run_sharded_non_rb(self):
+        """rb=False (one-hot responsibilities from the latent draw) through
+        the sharded runner -- the latent indices must reach pmc_update
+        (regression: they were dropped, crashing the non-RB path)."""
+        mix = create_gaussian_mixture(MEANS, COVS, WEIGHTS)
+        params = mix.stacked_params()
+        out_params, stats = pmc_run_sharded(
+            log_target, params, n_total=8 * 256, n_steps=3, rb=False,
+            key=jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(stats.ess)).all()
+        assert np.isfinite(np.asarray(out_params.means)).all()
+        assert (np.asarray(out_params.weights) >= 0).all()
+        # the non-RB update still adapts toward the target
+        assert float(np.asarray(stats.ess)[-1]) > \
+            float(np.asarray(stats.ess)[0]) - 0.05
+
     def test_vb_mesh_pads_with_zero_weight(self, monkeypatch):
         from pypmc_tpu.mix_adapt import variational as vb
         from pypmc_tpu.ops import pallas_kernels as pk
