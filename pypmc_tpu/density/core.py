@@ -266,6 +266,19 @@ def mixture_logpdf(params: MixtureParams, x) -> jax.Array:
     return mixture_logpdf_T(params, jnp.asarray(x).T)
 
 
+def _cumulative_weights(weights):
+    """Inverse-CDF thresholds computed from the TAIL sums,
+    ``cumw[k] = 1 - sum_{j>k} w_j``: for a DEAD component k (weight 0) the
+    two thresholds bounding its interval are the *same* partial sum, so
+    the interval is empty bit-exactly, and the last threshold is exactly
+    1 -- a forward ``cumsum`` instead can round the total below 1 in
+    float32, handing ``u`` in [total, 1) to a dead trailing component
+    (~1-10 draws per 1e7-particle step)."""
+    tail = jnp.cumsum(weights[::-1])[::-1]          # sum_{j>=k} w_j
+    tail_excl = jnp.concatenate([tail[1:], jnp.zeros((1,), weights.dtype)])
+    return 1.0 - tail_excl
+
+
 @partial(jax.jit, static_argnames=("n",))
 def propose_T(params: MixtureParams, key, n: int):
     """Draw ``n`` samples from the mixture in the TRANSPOSED layout; return
@@ -283,7 +296,7 @@ def propose_T(params: MixtureParams, key, n: int):
     # compares, instead of Gumbel-argmax's N*K transcendentals; dead
     # components (weight 0) have an empty interval and are never drawn
     u = jax.random.uniform(k_cat, (n,), dtype=dtype)
-    cumw = jnp.cumsum(params.weights)
+    cumw = _cumulative_weights(params.weights)
     latent = jnp.sum(u[None, :] >= cumw[:-1, None], axis=0).astype(jnp.int32)
     zT = jax.random.normal(k_norm, (params.dim, n), dtype=dtype)
 
@@ -402,7 +415,7 @@ def propose_logq_T(params: MixtureParams, key, n: int, target_params=None):
     seed = jax.lax.bitcast_convert_type(
         jax.random.bits(key, (2,), "uint32"), jnp.int32
     )
-    cumw = jnp.cumsum(params.weights).reshape(params.K, 1)
+    cumw = _cumulative_weights(params.weights).reshape(params.K, 1)
     ct2 = params.chol.reshape(params.K * params.dim, params.dim)
     a2, b2, log_norm, weights, dof_col, center = _pallas_operands(params, "inv_chol")
     dof_row = None if params.dof is None else params.dof.reshape(1, params.K)
@@ -441,7 +454,12 @@ def update_masked(params: MixtureParams, new_means, new_covs, new_weights,
     # ones); a failed update additionally forces weight 0 (component died)
     weights = jnp.asarray(new_weights)
     weights = jnp.where(update_mask & ~res.valid, 0.0, weights)
-    weights = weights / jnp.sum(weights)
+    # all-dead guard: if every component died, keep all weights at exactly
+    # 0 (host callers check `weights > 0` and stop/fall back) instead of
+    # the 0/0 -> all-NaN mixture a bare renormalization would produce
+    total = jnp.sum(weights)
+    weights = jnp.where(total > 0, weights / jnp.where(total > 0, total, 1.0),
+                        0.0)
     dof = params.dof
     if dof is not None and new_dofs is not None:
         dof = jnp.where(ok, new_dofs, dof)

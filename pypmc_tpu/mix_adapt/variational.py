@@ -189,6 +189,22 @@ class _EStepOut(NamedTuple):
     log_q_Z: jax.Array = None  # scalar (10.75); set only by the fused path
 
 
+def _normalize_log_rho(log_rho, dtype):
+    """Max-shifted softmax of the responsibility logits (Bishop 10.49):
+    returns ``(r, normalized log_rho)`` with exact zeros of ``r`` clamped
+    to the dtype's tiny (the reference's regularization,
+    ``variational.pyx:752-755``).  Shared by the GaussianInference and
+    VBMerge E-steps so any normalization policy change applies to both."""
+    max_rho = jnp.max(log_rho, axis=1, keepdims=True)
+    shifted = log_rho - max_rho
+    r = jnp.exp(shifted)
+    norm = jnp.sum(r, axis=1, keepdims=True)
+    r = r / norm
+    log_rho = shifted - jnp.log(norm)
+    r = jnp.where(r == 0.0, tiny(dtype), r)
+    return r, log_rho
+
+
 @jax.jit
 def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
     """Standard VB-GMM E-step (10.64-10.66, 10.46/10.49, 10.51-10.53)."""
@@ -204,14 +220,7 @@ def _vb_e_step(data, weights, alpha, beta, nu, m, W, log_det_W):
         e_lnlam[None, :] - D * jnp.log(2 * jnp.pi) - e_gauss
     )
     # (10.49): max-shifted softmax; store normalized log_rho, clamp r zeros
-    max_rho = jnp.max(log_rho, axis=1, keepdims=True)
-    shifted = log_rho - max_rho
-    r = jnp.exp(shifted)
-    norm = jnp.sum(r, axis=1, keepdims=True)
-    r = r / norm
-    log_rho = shifted - jnp.log(norm)
-    t = tiny(dtype)
-    r = jnp.where(r == 0.0, t, r)
+    r, log_rho = _normalize_log_rho(log_rho, dtype)
 
     wr = weights[:, None] * r
     N_comp = jnp.sum(wr, axis=0)  # (10.51)
@@ -320,14 +329,7 @@ def _vb_merge_e_step(mu, sigma, Nomega, alpha, beta, nu, m, W, log_det_W):
     tmp_k = 2.0 * e_lnpi + e_lnlam - D * jnp.log(2.0 * jnp.pi)
     log_rho = 0.5 * (Nomega[:, None] * tmp_k[None, :] - Nomega[:, None] * e_gauss)
 
-    max_rho = jnp.max(log_rho, axis=1, keepdims=True)
-    shifted = log_rho - max_rho
-    r = jnp.exp(shifted)
-    norm = jnp.sum(r, axis=1, keepdims=True)
-    r = r / norm
-    log_rho = shifted - jnp.log(norm)
-    t = tiny(dtype)
-    r = jnp.where(r == 0.0, t, r)
+    r, log_rho = _normalize_log_rho(log_rho, dtype)
 
     # (41): N_comp itself is regularized in the reference (``:1171-1175``)
     N_comp = regularize(jnp.einsum("l,lk->k", Nomega, r))

@@ -53,7 +53,11 @@ def _make_mc_kernel(target, dim, is_t):
             proposed_eval = target(proposed)
             log_rho = proposed_eval - current_eval  # symmetric proposal
             is_nan = jnp.isnan(log_rho)
-            accept = (~is_nan) & ((log_rho >= 0) | (log_rho >= log_u))
+            # STRICT vs log_u: uniform [0,1) can draw exactly 0 (log_u
+            # = -inf); `>=` would then accept a zero-probability proposal
+            # (log_rho = -inf), park the chain out of support and turn the
+            # next rejection into a spurious NaN
+            accept = (~is_nan) & ((log_rho >= 0) | (log_rho > log_u))
             current = jnp.where(accept, proposed, current)
             current_eval = jnp.where(accept, proposed_eval, current_eval)
             return (current, current_eval), (current, current_eval, accept, is_nan)
@@ -174,9 +178,12 @@ class MarkovChain(object):
         (reference hot loop, ``markov_chain.py:100-165``)."""
         rng = self._numpy_rng if self._numpy_rng is not None else _np.random.mtrand
         symmetric = getattr(self.proposal, "symmetric", False)
-        this_run = self.samples.append(N)
-        if self.target_values is not None:
-            this_target_values = self.target_values.append(N)
+        # local buffers: the Histories are appended only after the loop
+        # completes, so a NaN-raise mid-run cannot leave a garbage-filled
+        # run behind (the device path raises before appending too)
+        this_run = _np.empty((N, len(self.current_point)))
+        this_target_values = (_np.empty((N, 1))
+                              if self.target_values is not None else None)
         accept_count = 0
         for i_N in range(N):
             proposed_point = _np.asarray(self.proposal.propose(self.current_point, rng))
@@ -189,7 +196,7 @@ class MarkovChain(object):
                 if not continue_on_NaN:
                     raise ValueError("target returned NaN (pass continue_on_NaN=True to reject such proposals)")
                 this_run[i_N] = self.current_point
-            elif log_rho >= 0 or log_rho >= _np.log(rng.rand()):
+            elif log_rho >= 0 or log_rho > _np.log(rng.rand()):
                 accept_count += 1
                 this_run[i_N] = proposed_point
                 self.current_point = proposed_point
@@ -198,6 +205,9 @@ class MarkovChain(object):
                 this_run[i_N] = self.current_point
             if self.target_values is not None:
                 this_target_values[i_N] = self.current_target_eval
+        self.samples.append(N)[:] = this_run
+        if self.target_values is not None:
+            self.target_values.append(N)[:] = this_target_values
         return accept_count
 
 
@@ -396,7 +406,7 @@ def sample_adaptive_chains(target, starts, sigma0, n_steps, n_adapt_cycles,
             proposed_eval = vtarget(proposed)
             log_rho = proposed_eval - current_eval
             is_nan = jnp.isnan(log_rho)
-            accept = (~is_nan) & ((log_rho >= 0) | (log_rho >= log_u))
+            accept = (~is_nan) & ((log_rho >= 0) | (log_rho > log_u))
             current = jnp.where(accept[:, None], proposed, current)
             current_eval = jnp.where(accept, proposed_eval, current_eval)
             return (current, current_eval), (current, accept, is_nan)
