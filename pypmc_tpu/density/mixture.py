@@ -49,7 +49,7 @@ class MixtureDensity(ProbabilityDensity):
         self.dim = self.components[0].dim
         _np.testing.assert_equal(
             [comp.dim for comp in self.components],
-            [self.dim for comp in components],
+            [self.dim] * len(self.components),
         )
         if weights is None:
             self.weights = _np.ones(len(self.components))
@@ -247,6 +247,13 @@ class MixtureDensity(ProbabilityDensity):
             if individual is not None:
                 individual[:] = logpdfs
             res = _np.asarray(_core.logsumexp(logpdfs, _np.asarray(params.weights), axis=-1))
+            # stacked_params normalizes the weights; evaluate() (and the
+            # reference) uses them AS STORED -- keep the two public APIs
+            # consistent when a caller mutated self.weights without
+            # normalize()
+            w_sum = float(_np.sum(self.weights))
+            if w_sum != 1.0:
+                res = res + _np.log(w_sum)
             if out is None:
                 return res
             assert len(out) == len(x), "out has the wrong length; expected %i" % len(x)
@@ -310,11 +317,20 @@ class MixtureDensity(ProbabilityDensity):
         current_write_start = 0
         for i, comp in enumerate(self.components):
             if to_get[i] != 0:
+                # decide the arity from the signature (the reference also
+                # calls propose(n) for rng-less components, mixture.pyx:199);
+                # catching TypeError instead would silently swallow genuine
+                # TypeErrors INSIDE a component's propose and retry without
+                # the user's rng -- irreproducible samples with no warning
+                import inspect
+
                 try:
+                    n_args = len(inspect.signature(comp.propose).parameters)
+                except (TypeError, ValueError):
+                    n_args = 2
+                if n_args >= 2:
                     block = comp.propose(to_get[i], rng)
-                except TypeError:
-                    # duck-typed components whose propose takes no rng
-                    # (the reference also calls propose(n), mixture.pyx:199)
+                else:
                     block = comp.propose(to_get[i])
                 output_samples[
                     current_write_start : current_write_start + to_get[i]

@@ -48,11 +48,15 @@ def _mt_round(key, d, c, shape, dtype):
     u = jax.random.uniform(ku, shape, dtype=dtype, minval=jnp.finfo(dtype).tiny)
     one_plus_cz = 1.0 + c * z
     ok_v = one_plus_cz > 0
-    v = jnp.where(ok_v, one_plus_cz, 1.0) ** 3
-    log_v = 3.0 * jnp.log(jnp.where(ok_v, one_plus_cz, 1.0))
-    accept = ok_v & (
-        jnp.log(u) < 0.5 * z * z + d - d * v + d * log_v
-    )
+    safe = jnp.where(ok_v, one_plus_cz, 1.0)
+    log_v = 3.0 * jnp.log(safe)
+    # margin d*(1 - v + log v) written as d*(log_v - w) with w = v - 1 =
+    # expm1(log_v): both terms are computed in high RELATIVE precision, so
+    # the subtraction is benign -- the naive d - d*v + d*log_v cancels
+    # catastrophically for large d (absolute rounding ~d*eps vs an O(1)
+    # acceptance margin; visible from dof ~ 1e5 in float32)
+    w = jnp.expm1(log_v)
+    accept = ok_v & (jnp.log(u) < 0.5 * z * z + d * (log_v - w))
     log_g = jnp.log(d) + log_v
     return accept, log_g
 

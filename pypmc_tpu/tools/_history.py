@@ -29,7 +29,9 @@ class History(object):
 
     def __getitem__(self, item):
         if not self._run_slices[item]:
-            return _np.array(())
+            # keep the (0, dim) second axis: consumers index h[:][:, 0] /
+            # vstack against it even before the first run
+            return self._points[:0]
         if isinstance(item, slice):
             if item.step is not None:
                 raise NotImplementedError("slices with a step are not supported")
