@@ -292,6 +292,21 @@ def main():
         ok &= np.allclose(np.asarray(logp), lp2, rtol=1e-4, atol=2e-4)
         check("fused propose+eval (%s): moments + log-q/log-p" % name, ok)
 
+    # ---- 3c. K=1 edge through the fused kernel ON HARDWARE ---- #
+    # The interpreter accepts 0-row slices that Mosaic rejects ("vector
+    # types must have positive constant sizes"); a K=1 final proposal is
+    # routine (the PMC refinement often kills all but one component), so
+    # the edge must compile on the real chip, not just under interpret.
+    for name, dd1 in [("gauss", None), ("student_t", dofs[:1])]:
+        p1, _ = core.make_mixture(means[:1], covs[:1], None, dd1)
+        s1T, l1, q1, pp1 = core.propose_logq_T(
+            p1, jax.random.PRNGKey(6), N, p1)
+        ok = bool((np.asarray(l1) == 0).all())
+        ok &= bool(np.isfinite(np.asarray(q1)).all())
+        ok &= np.allclose(np.asarray(q1), np.asarray(pp1))
+        check("fused propose+eval K=1 edge (%s, hardware compile)" % name,
+              ok)
+
     # ---- 4. chi-square sampler moments on TPU ---- #
     draws = np.asarray(chisquare(jax.random.PRNGKey(2), 8.0, (N,)))
     # ---- 6. one-kernel IS+PMC training step (mixture target) ---- #

@@ -664,6 +664,10 @@ def _propose_tile(onehot, scale, ct_ref, mu_ref, dof_ref, *,
         # the full-sublane-utilization layout; scale = sqrt(dof / chi2)
         if _gather_use_matmul():
             dof_sel = _dot_selr(dof_ref[:], onehot)  # (1, K) @ (K, TN)
+        elif n_comp == 1:
+            # a (1,1) x (1,TN) broadcast multiply aborts the Mosaic
+            # compiler; a scalar fill (the MCMC pool's pattern) compiles
+            dof_sel = jnp.full((1, tn), dof_ref[0, 0], jnp.float32)
         else:
             dof_sel = None
             for k in range(n_comp):
@@ -742,6 +746,10 @@ def _propose_logq_kernel(seed_ref, cumw_ref, ct_ref, mu_ref,
         ks = jax.lax.broadcasted_iota(jnp.int32, (n_comp, 1), 0)
         mask = (ks < n_comp - 1).astype(jnp.float32).reshape(1, n_comp)
         lat_f = _dot01(mask, cmp)                         # (1, TN)
+    elif n_comp == 1:
+        # K=1: no thresholds to sum (a 0-row slice is not a valid Mosaic
+        # vector even though the interpreter accepts it)
+        lat_f = jnp.zeros((1, tn), jnp.float32)
     else:
         # plain sublane reduction over the first K-1 comparison rows --
         # one fewer full-tile MXU pass than the masked matmul
@@ -1962,6 +1970,8 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
         ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         mask = (ks < K - 1).astype(jnp.float32).reshape(1, K)
         lat = _dot01(mask, cmp).astype(jnp.int32)
+    elif K == 1:
+        lat = jnp.zeros((1, tn), jnp.int32)
     else:
         lat = jnp.sum(cmp[:K - 1, :], axis=0, keepdims=True
                       ).astype(jnp.int32)
@@ -1997,6 +2007,8 @@ def _is_pmc_blocked_kernel(seed_ref, cumw_ref, ct_ref, mu_ref, dof_row_ref,
     if student_t:
         if _gather_use_matmul():
             dof_sel = _dot_selr(dof_row_ref[:], onehot)
+        elif K == 1:
+            dof_sel = jnp.full((1, tn), dof_row_ref[0, 0], jnp.float32)
         else:
             dof_sel = None
             for k in range(K):
