@@ -7,11 +7,28 @@ reference -- whose samplers accept numpy ``mtrand``-style objects
 or integer seeds.  These helpers normalize whatever the user passed.
 """
 
+import numbers as _numbers
+
 import numpy as _np
 
 __all__ = ["is_jax_key", "as_jax_key", "RNG_DEFAULT"]
 
 RNG_DEFAULT = _np.random.mtrand  # reference default rng
+
+# module-level default key stream for rng=None: advancing it on every use
+# makes repeated convenience calls (density.propose(N) in a loop) draw
+# FRESH samples -- a fixed PRNGKey(0) silently returned identical batches
+_default_key = None
+
+
+def _next_default_key():
+    global _default_key
+    import jax
+
+    if _default_key is None:
+        _default_key = jax.random.PRNGKey(0)
+    _default_key, sub = jax.random.split(_default_key)
+    return sub
 
 
 def is_jax_key(rng) -> bool:
@@ -34,9 +51,12 @@ def as_jax_key(rng):
     import jax
 
     if rng is None:
-        return jax.random.PRNGKey(0)
-    if isinstance(rng, int):
-        return jax.random.PRNGKey(rng)
+        return _next_default_key()
+    if isinstance(rng, _numbers.Integral):
+        # incl. numpy integer scalars (np.int64 from an array of seeds
+        # previously fell through to the 'numpy generator' branch and
+        # crashed with AttributeError deep inside propose)
+        return jax.random.PRNGKey(int(rng))
     if is_jax_key(rng):
         return rng
     return None

@@ -31,6 +31,12 @@ def _patch_component(patch, index, try_diag):
     """One Gauss from a patch's empirical moments, or None.  A non-PD
     covariance falls back to its diagonal when ``try_diag`` (the patch may
     be too short or degenerate for a full-rank estimate)."""
+    if len(patch) < 2:
+        # a single-row patch has no covariance estimate at all (np.cov
+        # collapses to a 0-d scalar); drop it like any invalid patch
+        logger.info("patch %i: too short for a covariance estimate (%d "
+                    "row(s)); dropped", index, len(patch))
+        return None
     mean = _np.mean(patch, axis=0)
     cov = _np.cov(patch, rowvar=0)
     try:

@@ -319,6 +319,10 @@ def propose_T(params: MixtureParams, key, n: int):
         # gather/scatter tail is expensive on TPU); both are exact
         dof_n = params.dof[latent]
         chi2 = jax.random.chisquare(k_chi, dof_n, shape=(n,), dtype=dtype)
+        # float32 chi2 underflows to exactly 0 with probability
+        # ~tiny^(dof/2) (noticeable for dof < ~1): clamp so the scale
+        # stays finite instead of proposing points at infinity
+        chi2 = jnp.maximum(chi2, jnp.finfo(dtype).tiny)
         scale = jnp.sqrt(dof_n / chi2)
     else:
         scale = jnp.ones((n,), dtype=dtype)

@@ -109,18 +109,22 @@ class Gauss(ProbabilityDensity):
 
     def update(self, mu, sigma):
         """Re-initialize with new mean and covariance; on ``LinAlgError``
-        the old state is kept (``gauss.pyx:86-116``)."""
+        (or a dimension mismatch) the old state is kept
+        (``gauss.pyx:86-116``)."""
+        mu = _np.array(mu, dtype=float)
         new_local = LocalGauss(sigma)  # validates sigma first
+        # validate BEFORE any state mutation (a raise must leave the old
+        # state fully intact; an assert would also vanish under python -O)
+        if len(mu) != new_local.sigma.shape[0]:
+            raise ValueError(
+                "mean has dimension %d but the covariance matrix is "
+                "%d-dimensional" % (len(mu), new_local.sigma.shape[0]))
         self._local_gauss = new_local
-        self.mu = _np.array(mu, dtype=float)
+        self.mu = mu
         self.dim = len(self.mu)
         self.inv_sigma = new_local.inv_sigma
         self.log_det_sigma = new_local.log_det_sigma
         self.sigma = new_local.sigma
-        assert self.dim == self.sigma.shape[0], (
-            "mean has dimension %d but the covariance matrix is %d-dimensional"
-            % (self.dim, self.sigma.shape[0])
-        )
 
     def evaluate(self, x):
         diff = _np.asarray(x) - self.mu

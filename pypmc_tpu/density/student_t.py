@@ -53,7 +53,8 @@ class LocalStudentT(LocalGauss):
 
             k1, k2 = jax.random.split(key)
             z = _np.dot(self.cholesky_sigma, _np.asarray(jax.random.normal(k1, (self.dim,))))
-            chi2 = float(jax.random.chisquare(k2, self.dof))
+            chi2 = max(float(jax.random.chisquare(k2, self.dof)),
+                       float(_np.finfo(_np.float32).tiny))
         else:
             z = self._get_gauss_sample(rng)
             chi2 = rng.chisquare(self.dof)
@@ -75,18 +76,19 @@ class StudentT(ProbabilityDensity):
     def update(self, mu, sigma, dof):
         """Re-initialize with new mean, scale matrix and degrees of freedom;
         on ``LinAlgError`` the old state is kept (``student_t.pyx:78-117``)."""
+        mu = _np.array(mu, dtype=float)
         new_local = LocalStudentT(sigma, dof)  # validates sigma first
+        if len(mu) != new_local.sigma.shape[0]:
+            raise ValueError(
+                "mean has dimension %d but the covariance matrix is "
+                "%d-dimensional" % (len(mu), new_local.sigma.shape[0]))
         self._local_t = new_local
-        self.mu = _np.array(mu, dtype=float)
+        self.mu = mu
         self.dim = len(self.mu)
         self.dof = float(dof)
         self.inv_sigma = new_local.inv_sigma
         self.log_det_sigma = new_local.log_det_sigma
         self.sigma = new_local.sigma
-        assert self.dim == self.sigma.shape[0], (
-            "mean has dimension %d but the covariance matrix is %d-dimensional"
-            % (self.dim, self.sigma.shape[0])
-        )
         self._eval_prefactor = -0.5 * (self.dof + self.dim)
         self._inv_dof = 1.0 / self.dof
 
@@ -118,7 +120,10 @@ class StudentT(ProbabilityDensity):
 
             k1, k2 = jax.random.split(key)
             z = _np.asarray(jax.random.normal(k1, (N, self.dim)))
-            chi2 = _np.asarray(jax.random.chisquare(k2, self.dof, shape=(N,)))
+            # clamp: float32 chi2 underflows to exactly 0 for small dof
+            chi2 = _np.maximum(
+                _np.asarray(jax.random.chisquare(k2, self.dof, shape=(N,))),
+                _np.finfo(_np.float32).tiny)
         else:
             z = rng.normal(0, 1, (N, self.dim))
             chi2 = rng.chisquare(self.dof, N)

@@ -16,6 +16,10 @@ def perp(weights):
     importance ``weights``; 0 is terrible, 1 is perfect.
     (Reference: ``convergence.py:6-39``.)"""
     w = jnp.asarray(weights)
+    # pre-normalize by the max: jnp silently downcasts float64 to float32
+    # (x64 off), where raw weights > 3.4e38 overflow to inf and the
+    # diagnostics return NaN; the max-ratio form is scale-free
+    w = w / jnp.max(w)
     w = w / jnp.sum(w)
     # avoid NaN from log(0) by replacing log(0) -> 0 contribution
     logw = jnp.where(w == 0, 0.0, jnp.log(jnp.where(w == 0, 1.0, w)))
@@ -28,6 +32,7 @@ def ess(weights):
     (unnormalized) importance ``weights``; 0 is terrible, 1 is perfect.
     (Reference: ``convergence.py:42-72``.)"""
     w = jnp.asarray(weights)
+    w = w / jnp.max(w)  # scale-free (see perp): no float32 overflow
     w = w / jnp.sum(w)
     coeff_var = jnp.sum((len(w) * w - 1.0) ** 2) / len(w)
     return 1.0 / (1.0 + coeff_var)

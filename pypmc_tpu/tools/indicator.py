@@ -24,6 +24,12 @@ def ball(center, radius=1.0, bdy=True):
 
     def ball_indicator(x):
         x = jnp.asarray(x)
+        if x.shape[-1] != center.shape[0]:
+            # shapes are static under jit, so this raises at trace time --
+            # without it a wrong-dimension point silently broadcasts into
+            # a garbage verdict (the reference raises too)
+            raise ValueError("input has wrong dimension (%d, expected %d)"
+                             % (x.shape[-1], center.shape[0]))
         dist = jnp.linalg.norm(x - center)
         return dist <= radius if bdy else dist < radius
 
@@ -46,6 +52,9 @@ def hyperrectangle(lower, upper, bdy=True):
 
     def hr_indicator(x):
         x = jnp.asarray(x)
+        if x.shape[-1] != lower.shape[0]:
+            raise ValueError("input has wrong dimension (%d, expected %d)"
+                             % (x.shape[-1], lower.shape[0]))
         if bdy:
             return jnp.all(lower <= x) & jnp.all(x <= upper)
         return jnp.all(lower < x) & jnp.all(x < upper)
@@ -77,7 +86,10 @@ def merge_function_with_indicator(function, indicator, alternative):
 
         @batched_target(transposed=True)
         def merged_function(xT):
-            ok = jax.vmap(indicator)(jnp.asarray(xT).T)
+            # vmap over the LANE axis directly: transposing the whole
+            # (D, N) block back to (N, D) re-introduced the layout
+            # conversion the transposed protocol exists to avoid
+            ok = jax.vmap(indicator, in_axes=1)(jnp.asarray(xT))
             return jnp.where(ok, function(xT), alternative)
 
     elif is_batched(function):
