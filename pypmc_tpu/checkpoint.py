@@ -71,6 +71,11 @@ def atomic_savez(path, **arrays):
 
     if not is_primary_process():
         return
+    # coerce before any file exists: a value that fails array conversion
+    # would otherwise raise INSIDE np.savez, abandoning its internal ZipFile
+    # unclosed over a file we then close (its __del__ later seeks the closed
+    # handle -- an unraisable error at GC time)
+    arrays = {k: _np.asarray(v) for k, v in arrays.items()}
     path = str(path)
     tmp = "%s.tmp.%d" % (path, _os.getpid())
     try:
